@@ -1,0 +1,130 @@
+"""The accept-url policy cascade (SURVEY.md §2.A A4-A12) as native
+Column expressions — all JVM-side, whole-stage-codegen friendly; no
+Python in this module's hot path.
+
+Reference: /root/reference/crawler/wpull/plugin.py:92-168 (accept_url).
+The cascade runs over a frontier DataFrame that already carries
+``host``, ``parent_host``, ``url_path``, ``url_query`` columns (see
+functions/udfs.with_url_parts).
+
+Ordering note: the reference applies the cascade at dequeue time; we
+apply it at enqueue time. The accepted set is identical because every
+predicate depends only on the URL and its parent — not on crawl state
+— except max_pages (A10), which stays a driver-side dequeue rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# plugin.py:22-33 — verbatim skip patterns (Java regex compatible).
+SKIP_URL_PATTERNS = [
+    r"^https://www\.facebook\.com/dialog/share\?.*",
+    r"^https://twitter\.com/intent/tweet\?.*",
+    r"^https://x\.com/intent/tweet\?.*",
+    r"^https://www\.linkedin\.com/shareArticle\?.*",
+]
+
+# plugin.py:34 — domains fetched with HEAD instead of GET.
+HEAD_URL_PATTERNS = [r"https://files\.consumerfinance\.gov/.*"]
+
+
+@dataclass
+class CrawlPolicy:
+    """Config mirror of the reference CrawlConfig + plugin constants
+    (models.py:12-16, plugin.py:22-34)."""
+
+    start_url: str
+    max_pages: int = 0
+    depth: int = 0
+    skip_url_patterns: List[str] = field(default_factory=lambda: SKIP_URL_PATTERNS)
+    head_url_patterns: List[str] = field(default_factory=lambda: HEAD_URL_PATTERNS)
+    robots_enabled: bool = False  # reference runs --no-robots (crawler.py:35)
+    host_budget: Optional[int] = None  # politeness budget per host per superstep
+
+
+def _any_rlike(col: Column, patterns: List[str]) -> Column:
+    cond = F.lit(False)
+    for p in patterns:
+        cond = cond | col.rlike(p)
+    return cond
+
+
+def querystring_ok(query: Column) -> Column:
+    """A9 (plugin.py:159-162): on the start host, only querystrings
+    whose parsed keys are exactly ["page"] are crawlable.
+
+    parse_qs drops segments with no '=' or an empty value, so the
+    exact rule is: zero surviving pairs is OK (qs falsy), otherwise
+    every surviving pair's key must be 'page'.
+    """
+    pairs = F.filter(F.split(query, "&"), lambda s: s.rlike("^[^=]*=."))
+    keys = F.array_distinct(
+        F.transform(pairs, lambda s: F.regexp_extract(s, "^([^=]*)=", 1))
+    )
+    return (F.size(pairs) == 0) | (keys == F.array(F.lit("page")))
+
+
+def accept_url_filter(
+    frontier: DataFrame,
+    start_host: str,
+    policy: CrawlPolicy,
+) -> DataFrame:
+    """Apply A4-A9 to a frontier delta, returning accepted rows with a
+    ``fetch_method`` column. Columns required: url, host, parent_host,
+    url_path, url_query."""
+    url = F.col("url")
+    is_start_host = F.col("host") == start_host
+
+    df = frontier
+
+    # A4 skip-list (plugin.py:108-110)
+    if policy.skip_url_patterns:
+        df = df.filter(~_any_rlike(url, policy.skip_url_patterns))
+
+    # A5 one-hop off-domain gate (plugin.py:112-119): never follow
+    # links whose parent page is off the start host.
+    df = df.filter(F.col("parent_host") == start_host)
+
+    # A6 HEAD conversion (plugin.py:121-126)
+    is_head = (
+        _any_rlike(url, policy.head_url_patterns)
+        if policy.head_url_patterns
+        else F.lit(False)
+    )
+    df = df.withColumn("fetch_method", F.when(is_head, "HEAD").otherwise("GET"))
+
+    # A7 filename-path filter (plugin.py:129-132) — start host only,
+    # and (matching the reference's elif) not for HEAD-matched URLs.
+    on_host_checked = is_start_host & ~is_head
+    df = df.filter(~(on_host_checked & F.col("url_path").contains(".")))
+
+    # A9 querystring policy (plugin.py:159-162) — start host only.
+    # (A8 external-site unwrap happens during canonicalization, so by
+    # the time a URL reaches this filter it is never a wrapper.)
+    df = df.filter(~on_host_checked | querystring_ok(F.col("url_query")))
+
+    return df
+
+
+def robots_filter(frontier: DataFrame, robots: Optional[DataFrame]) -> DataFrame:
+    """A12: optional robots gating — ``robots(host, path_prefix)`` is a
+    small Disallow table; broadcast anti-join on host + prefix match.
+    Default OFF to match the reference's --no-robots."""
+    if robots is None:
+        return frontier
+    disallowed = (
+        frontier.alias("f")
+        .join(
+            F.broadcast(robots.alias("r")),
+            (F.col("f.host") == F.col("r.host"))
+            & F.col("f.url_path").startswith(F.col("r.path_prefix")),
+            "left_semi",
+        )
+        .select("f.url")
+    )
+    return frontier.join(disallowed, "url", "left_anti")

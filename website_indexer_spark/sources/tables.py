@@ -1,0 +1,258 @@
+"""Storage layer: schemas + a snapshot-versioned Parquet table store.
+
+Locally there are no Iceberg jars (verified — SURVEY.md preamble), so
+"Iceberg table" is emulated by a superstep-partitioned Parquet layout
+with a JSON manifest as the atomic commit marker:
+
+    <root>/
+      crawl.json                      # run manifest (config, status)
+      pages/superstep=K/*.parquet     # delta per superstep
+      errors/superstep=K/...
+      redirects/superstep=K/...
+      seen/superstep=K/...            # delta of newly-requested urls
+      frontier/superstep=K/...        # FULL next frontier after step K
+      manifests/K.json                # commit marker + counters
+
+A superstep K is committed iff manifests/K.json exists; readers only
+read ``superstep <= last_committed`` (partition pruning does the
+filtering at scan time), so a job killed mid-write leaves no torn
+state and ``resume`` restarts from the last committed superstep.
+On a cluster with Iceberg jars the same interface maps onto real
+Iceberg snapshots (MERGE/append + snapshot metadata); that swap is a
+config change, not a redesign.
+
+Reference analogue: the Crawl row lifecycle + synchronous ORM writes
+(/root/reference/crawler/models.py:19-52, crawler/writer.py:14-43);
+the manifest counters are the north_rule's per-partition lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- schemas (FIXTURES.md §2 / SURVEY.md §1.3) -----------------------
+
+WEB_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        # auxiliary response metadata for routing (FIXTURES.md §1);
+        # absent columns default to 200/text/html at load time
+        T.StructField("status_code", T.IntegerType()),
+        T.StructField("location", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+    ]
+)
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("discovery_seq", T.LongType(), False),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("parent_host", T.StringType()),
+        T.StructField("fetch_method", T.StringType()),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+    ]
+)
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("crawl_id", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("discovery_seq", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("html", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField("components", T.ArrayType(T.StringType())),
+    ]
+)
+
+ERRORS_SCHEMA = T.StructType(
+    [
+        T.StructField("crawl_id", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("status_code", T.IntegerType()),
+        T.StructField("referrer", T.StringType()),
+    ]
+)
+
+REDIRECTS_SCHEMA = T.StructType(
+    ERRORS_SCHEMA.fields + [T.StructField("location", T.StringType())]
+)
+
+DELTA_TABLES = ("pages", "errors", "redirects", "seen")
+SNAPSHOT_TABLES = ("frontier",)
+
+
+def build_spark(
+    app_name: str = "website-indexer-spark",
+    master: Optional[str] = None,
+    shuffle_partitions: int = 32,
+    extra_conf: Optional[Dict[str, str]] = None,
+) -> SparkSession:
+    """Session builder with the engine's required configs: AQE (runtime
+    coalescing + skew-join splitting), Arrow with bounded batches for
+    multi-MB html blobs."""
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.ui.enabled": "false",
+    }
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+class CrawlStore:
+    """Superstep-versioned table store with atomic manifest commits."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+
+    # --- manifests ------------------------------------------------
+    def _manifest_path(self, superstep: int) -> str:
+        return os.path.join(self.root, "manifests", f"{superstep}.json")
+
+    def last_committed(self) -> int:
+        """Highest committed superstep, or -1 when none."""
+        mdir = os.path.join(self.root, "manifests")
+        steps = [
+            int(f[:-5])
+            for f in os.listdir(mdir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        ]
+        return max(steps) if steps else -1
+
+    def read_manifest(self, superstep: int) -> dict:
+        with open(self._manifest_path(superstep)) as f:
+            return json.load(f)
+
+    def manifests(self) -> List[dict]:
+        return [self.read_manifest(k) for k in range(self.last_committed() + 1)]
+
+    # --- writes ---------------------------------------------------
+    def write_delta(self, name: str, df: DataFrame, superstep: int) -> None:
+        path = os.path.join(self.root, name, f"superstep={superstep}")
+        df.write.mode("overwrite").parquet(path)
+
+    def commit(self, superstep: int, counters: dict) -> None:
+        """Write the manifest LAST — it is the commit marker. Torn
+        superstep directories without a manifest are invisible to
+        readers and get overwritten on resume."""
+        manifest = {"superstep": superstep, "counters": counters}
+        tmp = self._manifest_path(superstep) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._manifest_path(superstep))
+
+    def clear(self) -> None:
+        """Wipe all crawl state (fresh-run initialization)."""
+        for name in DELTA_TABLES + SNAPSHOT_TABLES + ("manifests",):
+            tdir = os.path.join(self.root, name)
+            if os.path.isdir(tdir):
+                shutil.rmtree(tdir)
+        os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
+        crawl_json = os.path.join(self.root, "crawl.json")
+        if os.path.exists(crawl_json):
+            os.remove(crawl_json)
+
+    def rollback_uncommitted(self) -> None:
+        """Drop superstep dirs newer than the last committed manifest."""
+        last = self.last_committed()
+        for name in DELTA_TABLES + SNAPSHOT_TABLES:
+            tdir = os.path.join(self.root, name)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                if entry.startswith("superstep="):
+                    step = int(entry.split("=", 1)[1])
+                    if step > last:
+                        shutil.rmtree(os.path.join(tdir, entry))
+
+    # --- reads ----------------------------------------------------
+    def _read(self, name: str, schema: T.StructType) -> DataFrame:
+        tdir = os.path.join(self.root, name)
+        if not os.path.isdir(tdir) or not any(
+            e.startswith("superstep=") for e in os.listdir(tdir)
+        ):
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).option("basePath", tdir).parquet(
+            tdir + "/superstep=*"
+        )
+        # only committed supersteps are visible (partition-pruned scan)
+        return df.filter(F.col("superstep") <= self.last_committed()).drop("superstep")
+
+    def read_all(self, name: str) -> DataFrame:
+        schema = {
+            "pages": PAGES_SCHEMA,
+            "errors": ERRORS_SCHEMA,
+            "redirects": REDIRECTS_SCHEMA,
+            "seen": SEEN_SCHEMA,
+        }[name]
+        return self._read(name, schema)
+
+    def read_frontier(self, superstep: int) -> DataFrame:
+        path = os.path.join(self.root, "frontier", f"superstep={superstep}")
+        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(path)
+
+    # --- crawl record (models.py:19-52 analogue) -------------------
+    def write_crawl_record(self, record: dict) -> None:
+        tmp = os.path.join(self.root, "crawl.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=2, sort_keys=True, default=str)
+        os.replace(tmp, os.path.join(self.root, "crawl.json"))
+
+    def read_crawl_record(self) -> Optional[dict]:
+        path = os.path.join(self.root, "crawl.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+
+def load_web_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Load a web_pages input table (input_hint shape), defaulting the
+    auxiliary response-metadata columns when absent."""
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    if "status_code" not in cols:
+        df = df.withColumn("status_code", F.lit(200))
+    if "location" not in cols:
+        df = df.withColumn("location", F.lit(None).cast("string"))
+    if "content_type" not in cols:
+        df = df.withColumn("content_type", F.lit("text/html"))
+    return df
