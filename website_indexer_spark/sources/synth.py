@@ -1,0 +1,243 @@
+"""Deterministic synthetic Common-Crawl-style corpus generator.
+
+Generates a ``web_pages(url, warc_ts, html, text, lang, status_code,
+location, content_type)`` table distributedly (mapInPandas over
+spark.range — no driver-side materialization), fully deterministic
+from a seed via hash-mixing: no ``random``, no wall clock, so the
+same (seed, n_pages, n_hosts) always yields byte-identical data on
+any cluster size (FIXTURES.md §5 spec).
+
+Shape:
+* n_hosts hosts with Zipf-ish sizes (host 0 is the mega-host — the
+  skew/salting test subject and the crawl start host)
+* within a host, pages form a binary tree via links (local page i
+  links to 2i+1, 2i+2) so everything is BFS-reachable from page 0
+* pages sprinkle in every policy-relevant link flavor: cross-host
+  probes, social skip-URLs, "." file paths, ?foo=bar querystrings,
+  /external-site/ wrappers, files.consumerfinance.gov HEAD targets
+* ~deterministic fractions of 404s, network errors, http->https and
+  append-slash redirects, and non-HTML responses
+* oracle columns text/lang are computed at generation time with the
+  SAME extraction kernel the engine uses (independent end-to-end
+  check is the simulated-reference crawler in tests/oracle_crawler.py)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timezone
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from website_indexer_spark.functions.extract import extract_page_fields
+
+_VOCAB = (
+    "loan credit mortgage consumer report complaint bureau finance rate "
+    "payment debt card account bank rule data help money home auto school "
+    "service protect market fair notice guide filing answer question"
+).split()
+
+_COMPONENTS = ["o-hero", "o-table", "m-notification", "m-pagination", "a-btn"]
+
+
+def _h(seed: int, *parts: int) -> int:
+    """Deterministic 64-bit hash mix of (seed, parts)."""
+    data = seed.to_bytes(8, "little", signed=False) + b"".join(
+        int(p).to_bytes(8, "little", signed=True) for p in parts
+    )
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def host_boundaries(n_pages: int, n_hosts: int) -> List[int]:
+    """Zipf-ish cumulative page-count boundaries per host: host h gets
+    a share proportional to 1/(h+1)."""
+    weights = np.array([1.0 / (h + 1) for h in range(n_hosts)])
+    shares = weights / weights.sum()
+    counts = np.maximum(1, np.floor(shares * n_pages).astype(int))
+    # give any remainder to the mega-host
+    counts[0] += n_pages - counts.sum()
+    return np.concatenate([[0], np.cumsum(counts)]).tolist()
+
+
+def _host_name(h: int) -> str:
+    return f"host{h}.test"
+
+
+def _page_url(h: int, i: int) -> str:
+    return f"https://{_host_name(h)}/p{i}/"
+
+
+def _words(seed: int, h: int, i: int, k: int, n: int) -> str:
+    return " ".join(
+        _VOCAB[_h(seed, h, i, k, j) % len(_VOCAB)] for j in range(n)
+    )
+
+
+def _page_html(seed: int, h: int, i: int, host_size: int, n_hosts: int) -> str:
+    hh = _h(seed, h, i, 1)
+    lang = ["en", "es", None][hh % 3]
+    lang_attr = f' lang="{lang}"' if lang else ""
+    title = f"Page {h}/{i} | Consumer Financial Protection Bureau"
+
+    comps = ""
+    for c in range(hh % 3):
+        cls = _COMPONENTS[_h(seed, h, i, 2, c) % len(_COMPONENTS)]
+        comps += f'<div class="{cls}">{_words(seed, h, i, 3 + c, 6)}</div>'
+
+    links: List[str] = []
+    for child in (2 * i + 1, 2 * i + 2):
+        if child < host_size:
+            href = f"/p{child}/"
+            if _h(seed, h, i, 4, child) % 37 == 0:
+                # emitted as http:// — resolves via a 301 to https
+                href = f"http://{_host_name(h)}/p{child}/"
+            links.append(href)
+    m = hh % 100
+    if m < 20 and n_hosts > 1:
+        h2 = 1 + _h(seed, h, i, 5) % (n_hosts - 1)
+        links.append(_page_url(h2, _h(seed, h, i, 6) % 3))
+    if m < 9:
+        links.append("https://www.facebook.com/dialog/share?u=" + str(i))
+    if m < 15:
+        links.append(f"/doc{i}.pdf")
+    if m < 12:
+        links.append(f"/p{i}/?foo=bar")
+    if m < 10:
+        links.append(f"/p{i}/?page=2")
+    if m < 8 and n_hosts > 1:
+        h2 = 1 + _h(seed, h, i, 7) % (n_hosts - 1)
+        target = _page_url(h2, 0).replace(":", "%3A").replace("/", "%2F")
+        links.append(f"/external-site/?ext_url={target}")
+    if m < 6:
+        links.append(f"https://files.consumerfinance.gov/f/doc{i}.pdf")
+    if m < 5:
+        links.append(f"/gone{i}/")
+    if m < 4:
+        links.append(f"/dead{i}/")
+    if m < 3:
+        links.append(f"/img{i}/")
+    if m < 2:
+        links.append(f"/move{i}")  # 301 append-slash target
+
+    anchors = "".join(
+        f'<a href="{href}">{_words(seed, h, i, 8, 3)}</a> ' for href in links
+    )
+    paras = "".join(
+        f"<p>{_words(seed, h, i, 9 + p, 12)}</p>" for p in range(2 + hh % 4)
+    )
+    return (
+        f"<!DOCTYPE html><html{lang_attr}><head><title>{title}</title></head>"
+        f"<body><h1>{title}</h1>{comps}{paras}{anchors}</body></html>"
+    )
+
+
+def generate_web_pages(
+    spark: SparkSession,
+    n_pages: int = 10_000,
+    n_hosts: int = 20,
+    seed: int = 42,
+    partitions: int = 32,
+) -> DataFrame:
+    """Distributed deterministic generation: one input row per page id,
+    1-5 output rows per page (the page + any special-URL rows its
+    links reference)."""
+    bounds = host_boundaries(n_pages, n_hosts)
+    base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc).timestamp()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: List[Tuple] = []
+            for pid in pdf["id"]:
+                pid = int(pid)
+                h = int(np.searchsorted(bounds, pid, side="right")) - 1
+                i = pid - bounds[h]
+                host_size = bounds[h + 1] - bounds[h]
+                url = _page_url(h, i)
+                html = _page_html(seed, h, i, host_size, n_hosts)
+                page = extract_page_fields(html, _host_name(h))
+                ts = datetime.fromtimestamp(
+                    base_ts + (_h(seed, h, i, 0) % 86_400_000) / 1000.0,
+                    tz=timezone.utc,
+                )
+                rows.append(
+                    (
+                        url,
+                        ts,
+                        html.encode("utf-8"),
+                        page.text if page else None,
+                        page.language if page else None,
+                        200,
+                        None,
+                        "text/html",
+                    )
+                )
+                # special rows referenced by this page's links
+                hh = _h(seed, h, i, 1)
+                m = hh % 100
+                for child in (2 * i + 1, 2 * i + 2):
+                    if child < host_size and _h(seed, h, i, 4, child) % 37 == 0:
+                        rows.append(
+                            (
+                                f"http://{_host_name(h)}/p{child}/",
+                                ts,
+                                None,
+                                None,
+                                None,
+                                301,
+                                _page_url(h, child),
+                                "text/html",
+                            )
+                        )
+                if m < 10:
+                    # the ?page=2 variant serves the same content
+                    rows.append(
+                        (f"{url}?page=2", ts, html.encode("utf-8"),
+                         page.text if page else None,
+                         page.language if page else None,
+                         200, None, "text/html")
+                    )
+                if m < 5:
+                    rows.append(
+                        (f"https://{_host_name(h)}/gone{i}/", ts, None, None,
+                         None, 404, None, "text/html")
+                    )
+                if m < 4:
+                    rows.append(
+                        (f"https://{_host_name(h)}/dead{i}/", ts, None, None,
+                         None, 200, None, "text/html")
+                    )
+                if m < 3:
+                    rows.append(
+                        (f"https://{_host_name(h)}/img{i}/", ts, b"\x89PNG",
+                         None, None, 200, None, "image/png")
+                    )
+                if m < 2:
+                    rows.append(
+                        (f"https://{_host_name(h)}/move{i}", ts, None, None,
+                         None, 301, f"https://{_host_name(h)}/move{i}/",
+                         "text/html")
+                    )
+                    rows.append(
+                        (f"https://{_host_name(h)}/move{i}/", ts,
+                         b"<html><head><title>Moved</title></head>"
+                         b"<body>landed</body></html>",
+                         "landed", None, 200, None, "text/html")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang",
+                    "status_code", "location", "content_type",
+                ],
+            )
+
+    from website_indexer_spark.sources.tables import WEB_PAGES_SCHEMA
+
+    return (
+        spark.range(0, n_pages, numPartitions=partitions)
+        .mapInPandas(gen, WEB_PAGES_SCHEMA)
+        .dropDuplicates(["url"])
+    )
