@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship pipeline over /root/testdata/sf0.001: the
+                 training-data path (quality scoring + language ID +
+                 substring search) over the documents table.
+queries()      — one entry per implemented operator from SURVEY.md §2
+                 + the training-data operator suite; implementations
+                 live in website_indexer_spark/plans/catalog.py.
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible
+                 entry (approximate sketch operators are rows-only).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from website_indexer_spark.plans.catalog import ORACLE_SQL, SPARK_QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    documents -> quality columns -> language ID -> substring search,
+    aggregated per (pred_lang, source): the text-pipeline core in one
+    plan (scan -> native projections -> partial agg, no UDF).
+    """
+    from pyspark.sql import functions as F
+
+    from website_indexer_spark.functions import textstats as ts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        ts.lang_id(F.col("text")).alias("pred_lang"),
+        *ts.quality_columns(F.col("text")),
+        F.contains(F.lower(F.col("text")), F.lit("merge")).alias("mentions_merge"),
+    )
+    return (
+        enriched.groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("mentions_merge").cast("long")).alias("n_mentioning_merge"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("pred_lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 plus the
+    training-data suite (see plans/catalog.py for the inventory)."""
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB SQL mirrors; keys without an entry (dedup_simhash,
+    fingerprint_overlap, ann_lsh, ann_ivf, embedding_dup_pairs_lsh)
+    are approximate/sketch operators pinned by pytest instead."""
+    return dict(ORACLE_SQL)

@@ -1,0 +1,149 @@
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Two benchmark families:
+
+1. **Crawl throughput** — the headline metric from BASELINE.json
+   ("frontier URLs processed/sec, pages fetched+extracted"): generate
+   the deterministic synthetic Common-Crawl-style corpus, run the BFS
+   superstep crawler end-to-end, report requested URLs/sec; plus an
+   extraction-only microbench (the pandas-UDF kernel at full
+   parallelism, no superstep overhead).
+2. **Query suite** — headline analytics/training-data operators from
+   the catalog at $SPARK_GRAFT_SF_DIR, each timed to full
+   materialization (noop sink — no driver collect skew).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_CRAWL_PAGES (override corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from website_indexer_spark.plans import catalog
+from website_indexer_spark.plans.crawl import run_crawl
+from website_indexer_spark.sources.synth import generate_web_pages
+from website_indexer_spark.sources.tables import build_spark, load_web_pages
+
+BENCH_QUERIES = [
+    "search_text",
+    "join_search",
+    "group_agg",
+    "window_hourly",
+    "topk_retention",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "lang_id",
+    "quality",
+    "token_counts",
+    "ann_topk",
+    "embedding_dup_pairs_lsh",
+]
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", str(max(1000, int(60_000 * sf)))))
+
+    spark = build_spark(
+        app_name="wi-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="wi_bench_")
+    timings: dict[str, float] = {}
+    try:
+        # ---- corpus generation (not part of the timed crawl) -------
+        corpus_path = os.path.join(work, "web_pages")
+        t0 = time.time()
+        generate_web_pages(
+            spark, n_pages=n_pages, n_hosts=20, seed=42, partitions=cpus
+        ).write.mode("overwrite").parquet(corpus_path)
+        timings["corpus_gen"] = round(time.time() - t0, 3)
+
+        web = load_web_pages(spark, corpus_path)
+        n_rows = web.count()
+
+        # ---- extraction-only microbench ----------------------------
+        from pyspark.sql import functions as F
+
+        from website_indexer_spark.functions.udfs import extract_udf
+
+        t0 = time.time()
+        html_pages = web.filter(F.col("html").isNotNull())
+        n_html = html_pages.count()
+        _materialize(
+            html_pages.select(
+                "url", extract_udf(F.col("html"), F.lit("host0.test")).alias("ex")
+            )
+        )
+        extract_s = time.time() - t0
+        timings["extract_only"] = round(extract_s, 3)
+
+        # ---- end-to-end crawl (the headline) -----------------------
+        t0 = time.time()
+        result = run_crawl(
+            spark,
+            web,
+            "https://host0.test/p0/",
+            os.path.join(work, "crawl"),
+            salt_buckets=1,
+        )
+        crawl_s = time.time() - t0
+        timings["crawl"] = round(crawl_s, 3)
+        urls_per_sec = result.requested / crawl_s if crawl_s > 0 else 0.0
+
+        # ---- query suite at sf_dir ---------------------------------
+        for name in BENCH_QUERIES:
+            fn = catalog.SPARK_QUERIES[name]
+            t0 = time.time()
+            _materialize(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+
+        out = {
+            "metric": "frontier URLs processed/sec (fetched+extracted)",
+            "value": round(urls_per_sec, 2),
+            "unit": "urls/sec",
+            "queries": timings,
+            "sf": sf,
+            "crawl": {
+                "corpus_rows": n_rows,
+                "html_rows": n_html,
+                "requested": result.requested,
+                "pages": result.pages,
+                "errors": result.errors,
+                "redirects": result.redirects,
+                "supersteps": result.supersteps,
+                "crawl_sec": round(crawl_s, 3),
+                "extract_pages_per_sec": round(n_html / extract_s, 2)
+                if extract_s > 0
+                else 0.0,
+            },
+            "cpus": cpus,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Dedup operator tests with independent Python oracles."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_indexer_spark.operators import dedup
+
+
+def _jaccard(a: str, b: str, n: int = 2) -> float:
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+    ga, gb = grams(a), grams(b)
+    if not ga or not gb:
+        return 0.0
+    return len(ga & gb) / len(ga | gb)
+
+
+BASE = "spark shuffles partition data across executors for large joins"
+CORPUS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, BASE + " with adaptive query execution"),  # near dup
+    (3, "completely different text about gardening tulips in early spring"),
+    (4, "completely different text about gardening roses in early spring"),
+    (5, "the tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, corpus_df):
+    groups = dedup.exact_dedup_groups(corpus_df, "doc_id", "text").collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert by_keep[0] == 2  # docs 0,1 collapse
+    assert sum(by_keep.values()) == len(CORPUS)
+
+    kept = dedup.exact_dedup(corpus_df, "doc_id", "text")
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids == [0, 2, 3, 4, 5]
+
+
+def test_shingles_empty_and_short(spark):
+    df = spark.createDataFrame([(1, ""), (2, "one"), (3, "one two")], ["doc_id", "text"])
+    rows = dedup.shingles(df, "doc_id", "text", n=2).collect()
+    assert {(r["doc"], r["shingle"]) for r in rows} == {(3, "one two")}
+
+
+def test_jaccard_pairs_matches_oracle(spark, corpus_df):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            corpus_df, "doc_id", "text", n=2, threshold=0.3
+        ).collect()
+    }
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(CORPUS, 2):
+        j = _jaccard(ta, tb)
+        if j >= 0.3:
+            expect[(min(ia, ib), max(ia, ib))] = j
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k])
+
+
+def test_jaccard_max_shingle_df_guard(spark, corpus_df):
+    # df cap of 1 removes every shingle shared by 2+ docs => no pairs
+    got = dedup.jaccard_pairs(
+        corpus_df, "doc_id", "text", n=2, threshold=0.01, max_shingle_df=1
+    ).collect()
+    assert got == []
+
+
+def test_minhash_lsh_pairs(spark, corpus_df):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(
+            corpus_df, "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            corpus_df, "doc_id", "text", n=2, bands=16, rows_per_band=4, threshold=0.5
+        ).collect()
+    }
+    # precision 1 by construction; recall should be total here (the
+    # planted dups are far above threshold)
+    assert lsh <= exact
+    assert (0, 1) in lsh and (0, 2) in lsh
+
+
+def test_minhash_signature_deterministic(spark, corpus_df):
+    s1 = dedup.minhash_signatures(corpus_df, "doc_id", "text").collect()
+    s2 = dedup.minhash_signatures(corpus_df, "doc_id", "text").collect()
+    assert sorted((r["doc"], tuple(r["signature"])) for r in s1) == sorted(
+        (r["doc"], tuple(r["signature"])) for r in s2
+    )
+    sig = {r["doc"]: r["signature"] for r in s1}
+    assert sig[0] == sig[1]  # identical text => identical signature
+    assert sig[0] != sig[3]
+
+
+def test_simhash_pairs_match_bruteforce(spark, corpus_df):
+    sigs = {
+        r["doc"]: r["simhash"]
+        for r in dedup.simhash_signatures(corpus_df, "doc_id", "text").collect()
+    }
+    max_h = 12
+    expect = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        ham = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_h:
+            expect.add((a, b, ham))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs(
+            corpus_df, "doc_id", "text", max_hamming=max_h, blocks=16
+        ).collect()
+    }
+    # banding guarantees completeness when max_hamming < blocks
+    assert got == expect
+    assert (0, 1, 0) in got  # exact dup => distance 0

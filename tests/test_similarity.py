@@ -1,0 +1,121 @@
+"""Similarity-search operator tests with numpy oracles."""
+
+import numpy as np
+import pytest
+
+from website_indexer_spark.operators import similarity as sim
+
+DIM = 16
+N = 60
+N_QUERIES = 4
+
+
+def _make_vectors():
+    rng = np.random.default_rng(3)
+    # 4 well-separated cluster centers + jitter
+    centers = rng.standard_normal((4, DIM)) * 5
+    vecs = []
+    for i in range(N):
+        c = centers[i % 4]
+        vecs.append(c + rng.standard_normal(DIM) * 0.3)
+    return np.array(vecs)
+
+
+VECS = _make_vectors()
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = [(i, VECS[i].astype(float).tolist()) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark):
+    rows = [(i, VECS[i].astype(float).tolist()) for i in range(N_QUERIES)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _cos_matrix():
+    normed = VECS / np.linalg.norm(VECS, axis=1, keepdims=True)
+    return normed @ normed.T
+
+
+def _oracle_topk(k):
+    cos = _cos_matrix()
+    out = {}
+    for q in range(N_QUERIES):
+        order = sorted(
+            (i for i in range(N) if i != q), key=lambda i: (-cos[q, i], i)
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_brute_force_topk(spark, corpus_df, queries_df):
+    k = 5
+    got = sim.brute_force_topk(corpus_df, queries_df, k).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine"]))
+    oracle = _oracle_topk(k)
+    cos = _cos_matrix()
+    for q in range(N_QUERIES):
+        ids = [i for i, _ in sorted(by_query[q], key=lambda t: (-t[1], t[0]))]
+        assert ids == oracle[q]
+        for nid, c in by_query[q]:
+            assert c == pytest.approx(cos[q, nid])
+
+
+def test_lsh_topk_recall(spark, corpus_df, queries_df):
+    k = 5
+    got = sim.lsh_topk(corpus_df, queries_df, k, dim=DIM, n_planes=16, bands=8)
+    by_query = {}
+    for r in got.collect():
+        by_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    oracle = _oracle_topk(k)
+    # clustered data + 8 bands of 2 bits: same-cluster vectors nearly
+    # always collide; demand >=60% recall overall
+    hits = sum(len(by_query.get(q, set()) & set(oracle[q])) for q in range(N_QUERIES))
+    assert hits >= 0.6 * k * N_QUERIES
+
+
+def test_ivf_topk_recall(spark, corpus_df, queries_df):
+    k = 5
+    got = sim.ivf_topk(corpus_df, queries_df, k, n_centroids=8, nprobe=4)
+    by_query = {}
+    for r in got.collect():
+        by_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    oracle = _oracle_topk(k)
+    hits = sum(len(by_query.get(q, set()) & set(oracle[q])) for q in range(N_QUERIES))
+    assert hits >= 0.6 * k * N_QUERIES
+
+
+def test_cosine_dup_pairs_exact(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(DIM)
+    rows = [
+        (0, base.tolist()),
+        (1, (base * 2.0).tolist()),          # cos = 1
+        (2, (base + rng.standard_normal(DIM) * 0.01).tolist()),  # ~1
+        (3, rng.standard_normal(DIM).tolist()),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["a"], r["b"])
+        for r in sim.cosine_dup_pairs(df, 0.99, DIM, exact=True).collect()
+    }
+    assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_cosine_dup_pairs_lsh_finds_planted(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(DIM)
+    rows = [(i, rng.standard_normal(DIM).tolist()) for i in range(20)]
+    rows += [(100, base.tolist()), (101, (base + 0.001).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["a"], r["b"])
+        for r in sim.cosine_dup_pairs(df, 0.999, DIM, bands=8, n_planes=16).collect()
+    }
+    assert (100, 101) in got

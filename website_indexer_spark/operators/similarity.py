@@ -1,0 +1,350 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Three operators:
+
+* brute_force_topk — exact cosine top-k per query vector. The query
+  side is tiny (broadcast); the corpus side streams through one
+  projection + a per-query window top-k. Baseline/oracle.
+* lsh_topk        — random-hyperplane LSH buckets: corpus and
+  queries hash to sign-bit codes; candidates share a code band,
+  exact cosine re-rank inside buckets. The 100 TB path: the corpus
+  is hashed once (write-time), a query touches only its buckets.
+* ivf_topk        — IVF-style coarse quantization: k-means-ish
+  centroids picked deterministically, vectors assigned to nearest
+  centroid partition, query probes `nprobe` nearest centroids. Like
+  LSH this prunes the scan; unlike LSH the partitions follow the
+  data distribution.
+* cosine_dup_pairs — embedding near-duplicate pairs (cos >= t),
+  bucketed by LSH code so the self-join is equi not cross.
+
+Dot products run JVM-side via F.zip_with/F.aggregate on the exact
+baseline (no Python in the scan), and vectorized numpy inside
+mapInPandas where a matrix multiply against a broadcast query/plane
+block is asymptotically better.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_cosine(df: DataFrame, vec_a: str, vec_b: str, out: str = "cosine") -> DataFrame:
+    """cosine(vec_a, vec_b) as a native double column (computed in
+    double precision regardless of input float type)."""
+    a = F.transform(F.col(vec_a), lambda x: x.cast("double"))
+    b = F.transform(F.col(vec_b), lambda x: x.cast("double"))
+    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    queries is broadcast (it is small by construction); the cross
+    join is then a map-side nested loop over the corpus scan — no
+    shuffle until the final per-query top-k window, which moves only
+    (query, candidate, score) triples, not vectors.
+    Self-matches (same id) are excluded. Ties break by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .transform(lambda d: with_cosine(d, "_qvec", "_cvec"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------
+# Random-hyperplane LSH
+# --------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_codes(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """(id, band, code): sign-bit codes of n_planes projections,
+    split into `bands` codes of n_planes/bands bits each. One numpy
+    matmul per Arrow batch."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("code", T.LongType()),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            bits = (mat @ planes.T) > 0  # (rows, n_planes)
+            weights = 1 << np.arange(width, dtype=np.int64)
+            vids, bnds, codes = [], [], []
+            for b in range(bands):
+                block = bits[:, b * width : (b + 1) * width]
+                code = block @ weights
+                vids.extend(pdf["vid"].tolist())
+                bnds.extend([b] * len(pdf))
+                codes.extend(code.tolist())
+            yield pd.DataFrame({"vid": vids, "band": bnds, "code": codes})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
+    )
+    return src.mapInPandas(compute, schema)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing at least
+    one LSH band code with the query; exact cosine re-rank among them.
+    At scale the corpus codes are precomputed/bucketed at write time,
+    so a query's probe is a partition-pruned equi-join, not a scan."""
+    c_codes = lsh_codes(corpus, dim, id_col, vec_col, n_planes, bands, seed)
+    q_codes = lsh_codes(queries, dim, id_col, vec_col, n_planes, bands, seed)
+    cand = (
+        c_codes.alias("c")
+        .join(
+            q_codes.alias("q"),
+            (F.col("c.band") == F.col("q.band"))
+            & (F.col("c.code") == F.col("q.code"))
+            & (F.col("c.vid") != F.col("q.vid")),
+        )
+        .select(
+            F.col("q.vid").alias("query_id"), F.col("c.vid").alias("neighbor_id")
+        )
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .transform(lambda d: with_cosine(d, "_qvec", "_cvec"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------
+# IVF-style coarse partitioning
+# --------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, centroid) assignment to the `nprobe` nearest centroids by
+    cosine. centroids is a small (n_centroids, dim) matrix broadcast
+    inside the UDF closure."""
+    norm = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = centroids / np.where(norm == 0, 1, norm)
+
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("centroid", T.IntegerType()),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mn = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(mn == 0, 1, mn)
+            sims = mat @ cn.T  # (rows, n_centroids)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            vids = np.repeat(pdf["vid"].to_numpy(), nprobe)
+            yield pd.DataFrame(
+                {"vid": vids, "centroid": top.reshape(-1).astype(np.int32)}
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
+    )
+    return src.mapInPandas(compute, schema)
+
+
+def deterministic_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic centroid pick: the vectors with the n smallest
+    ids (a seeded k-means refinement is a drop-in upgrade; the
+    operator contract only needs *some* fixed coarse quantizer)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.array([r["v"] for r in rows], dtype=np.float64)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus assigned to 1 centroid each (write-time at
+    scale => partition layout), queries probe `nprobe` centroids;
+    exact cosine re-rank within probed cells."""
+    cents = deterministic_centroids(corpus, n_centroids, id_col, vec_col)
+    c_assign = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+    q_assign = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe)
+    cand = (
+        c_assign.alias("c")
+        .join(
+            q_assign.alias("q"),
+            (F.col("c.centroid") == F.col("q.centroid"))
+            & (F.col("c.vid") != F.col("q.vid")),
+        )
+        .select(F.col("q.vid").alias("query_id"), F.col("c.vid").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .transform(lambda d: with_cosine(d, "_qvec", "_cvec"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------
+# Embedding near-duplicate pairs
+# --------------------------------------------------------------------
+
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 11,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs (a < b) with cosine >= threshold.
+
+    exact=True: all-pairs (broadcast self cross join) — the oracle
+    path, quadratic, fine for small corpora. Default: LSH-bucketed
+    candidates (band equi-join) + exact cosine verify — near-linear;
+    recall follows the hyperplane S-curve (high for thresholds near
+    1, which is the near-duplicate regime this operator serves).
+    """
+    c1 = corpus.select(F.col(id_col).cast("long").alias("a"), F.col(vec_col).alias("_va"))
+    c2 = corpus.select(F.col(id_col).cast("long").alias("b"), F.col(vec_col).alias("_vb"))
+    if exact:
+        pairs = c1.crossJoin(c2).filter(F.col("a") < F.col("b"))
+    else:
+        codes = lsh_codes(corpus, dim, id_col, vec_col, n_planes, bands, seed)
+        cand = (
+            codes.alias("x")
+            .join(
+                codes.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.code") == F.col("y.code"))
+                & (F.col("x.vid") < F.col("y.vid")),
+            )
+            .select(F.col("x.vid").alias("a"), F.col("y.vid").alias("b"))
+            .distinct()
+        )
+        pairs = cand.join(c1, "a").join(c2, "b")
+    return (
+        pairs.transform(lambda d: with_cosine(d, "_va", "_vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,532 @@
+"""The driver-facing query catalog: every SQL-expressible operator
+from SURVEY.md §2 (viewer surface §2.C, maintenance §2.D) plus the
+training-data operators (dedup, similarity, text analysis), each as a
+(spark_fn, oracle_sql) pair over the /root/testdata tables.
+
+Contract (README of the build driver): each spark fn takes
+(spark, sf_dir) and returns a DataFrame; oracle SQL is ANSI/DuckDB
+SQL over pre-registered views of the same parquet files; column
+names/aliases MUST match between the two; approximate operators with
+no SQL mirror ship without oracle (rows-only check).
+
+Numeric-determinism rules used throughout (so value hashes match
+across engines): aggregates over doubles are avoided in favor of
+exact integer sums (quantities are integral; prices go through
+round(x*100) cents), ratios are single double divisions of exact
+ints (bit-identical IEEE in any engine), and float *scores* are kept
+out of output columns where ranking suffices.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from website_indexer_spark.functions import textstats as ts
+from website_indexer_spark.operators import dedup, similarity
+from website_indexer_spark.plans import queries as vq
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------
+# Viewer surface (§2.C) mapped onto the testdata tables. The same
+# plans/queries.py operators the crawl viewer uses, applied to
+# documents/orders/lineitem in place of pages/errors/redirects.
+# --------------------------------------------------------------------
+
+def q_search_empty(spark, sf):  # C1/C3: pure projection
+    return _t(spark, sf, "documents").select("doc_id", "source", "lang", "n_chars")
+
+
+def q_search_text(spark, sf):  # C2: case-insensitive substring search
+    docs = _t(spark, sf, "documents")
+    return docs.filter(
+        F.contains(F.lower(F.col("text")), F.lit("merge batch"))
+    ).select("doc_id", "source", "lang")
+
+
+def q_search_name(spark, sf):  # C2 over a second column/table
+    return (
+        _t(spark, sf, "part")
+        .filter(F.contains(F.lower(F.col("p_name")), F.lit("widget")))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+def q_language_filter(spark, sf):  # C6 secondary equality filter
+    return vq.filter_language(
+        _t(spark, sf, "documents").withColumn("language", F.col("lang")), "en"
+    ).select("doc_id", "source")
+
+
+def q_token_search_distinct(spark, sf):  # C4 default fork: explode+distinct
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(
+            "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.contains(F.col("tok"), F.lit("merge")))
+        .select("doc_id", "source")
+        .dropDuplicates(["doc_id", "source"])
+    )
+
+
+def q_token_search_csv(spark, sf):  # C4 CSV fork: exploded, no distinct
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.contains(F.col("tok"), F.lit("merge")))
+
+
+def q_join_search(spark, sf):  # C5-shaped join + substring filter
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.contains(F.lower(F.col("o_orderpriority")), F.lit("urgent")))
+        .select("l_orderkey", "l_linenumber", "o_orderpriority")
+    )
+
+
+def q_pagination(spark, sf):  # C7/C8 ordered LIMIT/OFFSET page
+    return vq.paginate(
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+        page_number=5,
+        page_size=25,
+    )
+
+
+def q_detail_lookup(spark, sf):  # C9 exact-match detail
+    return _t(spark, sf, "documents").filter(F.col("doc_id") == 42)
+
+
+def q_stats_agg(spark, sf):  # C11 count/min/max + duration
+    return (
+        _t(spark, sf, "events")
+        .agg(
+            F.count("ts").alias("n_events"),
+            F.min("ts").alias("started"),
+            F.max("ts").alias("ended"),
+        )
+        .withColumn(
+            "duration_s", F.unix_timestamp("ended") - F.unix_timestamp("started")
+        )
+    )
+
+
+def q_title_scrub(spark, sf):  # C12 suffix scrub projection
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), "[0-9]+$", "").alias("scrubbed_name"),
+    )
+
+
+def q_computed_flags(spark, sf):  # C13-shaped computed boolean columns
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderstatus") == "O").alias("is_open"),
+        (F.col("o_totalprice") > 200000.0).alias("is_big"),
+    )
+
+
+def q_latest_scope(spark, sf):  # LatestCrawlManager-shaped scoping semi-join
+    orders = _t(spark, sf, "orders")
+    latest = orders.agg(F.max("o_orderdate").alias("d"))
+    scoped = orders.join(
+        F.broadcast(latest), orders.o_orderdate == latest.d, "left_semi"
+    )
+    li = _t(spark, sf, "lineitem")
+    return li.join(
+        scoped.select("o_orderkey"), li.l_orderkey == scoped.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+def q_topk_retention(spark, sf):  # D3 top-K retention window
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 5)
+        .select("o_orderkey", "o_orderstatus", "rn")
+    )
+
+
+def q_group_agg(spark, sf):  # TPC-H Q1-shaped partial-agg rollup
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "sum_price_cents"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_window_hourly(spark, sf):  # tumbling-window event rollup
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.max("value").alias("max_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "max_value")
+    )
+
+
+def q_json_props(spark, sf):  # semi-structured extraction
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k") > 90)
+    )
+
+
+# --------------------------------------------------------------------
+# Training-data operators over documents/embeddings
+# --------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dedup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_dedup_jaccard(spark, sf):
+    return dedup.jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=2, threshold=0.4
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        n=2,
+        bands=16,
+        rows_per_band=4,
+        threshold=0.7,
+    ).select("doc_a", "doc_b")
+
+
+def q_dedup_simhash(spark, sf):  # no SQL mirror (custom 64-bit sketch)
+    return dedup.simhash_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=6, blocks=8
+    )
+
+
+def q_fingerprint_overlap(spark, sf):  # no SQL mirror (winnowing)
+    return ts.fingerprint_overlap_pairs(
+        _t(spark, sf, "documents"), "doc_id", min_common=8
+    )
+
+
+def q_lang_id(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", ts.lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+def q_quality(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", *ts.quality_columns(F.col("text"))
+    )
+
+
+def q_token_counts(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        ts.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        ts.regex_token_count(F.col("text")).alias("re_tokens"),
+    )
+
+
+def q_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+
+
+def q_ann_lsh(spark, sf):  # no SQL mirror (approximate)
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return similarity.lsh_topk(
+        emb, queries, k=10, dim=64, n_planes=16, bands=8
+    ).select("query_id", "neighbor_id")
+
+
+def q_ann_ivf(spark, sf):  # no SQL mirror (approximate)
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return similarity.ivf_topk(
+        emb, queries, k=10, n_centroids=16, nprobe=4
+    ).select("query_id", "neighbor_id")
+
+
+def q_embedding_dup_pairs(spark, sf):
+    return similarity.cosine_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.45, dim=64, exact=True
+    ).select("a", "b")
+
+
+def q_embedding_dup_pairs_lsh(spark, sf):  # no SQL mirror (approximate)
+    return similarity.cosine_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.45, dim=64, bands=8, n_planes=16
+    ).select("a", "b")
+
+
+SPARK_QUERIES: Dict[str, SparkQuery] = {
+    "search_empty": q_search_empty,
+    "search_text": q_search_text,
+    "search_name": q_search_name,
+    "language_filter": q_language_filter,
+    "token_search_distinct": q_token_search_distinct,
+    "token_search_csv": q_token_search_csv,
+    "join_search": q_join_search,
+    "pagination": q_pagination,
+    "detail_lookup": q_detail_lookup,
+    "stats_agg": q_stats_agg,
+    "title_scrub": q_title_scrub,
+    "computed_flags": q_computed_flags,
+    "latest_scope": q_latest_scope,
+    "topk_retention": q_topk_retention,
+    "group_agg": q_group_agg,
+    "window_hourly": q_window_hourly,
+    "json_props": q_json_props,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "fingerprint_overlap": q_fingerprint_overlap,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "token_counts": q_token_counts,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
+}
+
+
+# --------------------------------------------------------------------
+# DuckDB oracle SQL — same column names, same semantics.
+# --------------------------------------------------------------------
+
+_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS shingle
+    FROM toks WHERE len(t) >= 2
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {threshold}
+"""
+
+
+def _lang_id_sql() -> str:
+    score_exprs = []
+    for lang in ts.LANGS:
+        words = ", ".join(f"'{w}'" for w in ts.STOPWORDS[lang])
+        score_exprs.append(
+            f"len(list_filter(t, x -> list_contains([{words}], x))) AS s_{lang}"
+        )
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in ts.LANGS) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang in ts.LANGS:
+        case += f"WHEN s_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS t
+  FROM documents
+), scores AS (
+  SELECT doc_id, {', '.join(score_exprs)} FROM toks
+)
+SELECT doc_id, {case} AS pred_lang FROM scores
+"""
+
+
+def _quality_sql() -> str:
+    all_stop = ", ".join(
+        f"'{w}'" for lang in ts.LANGS for w in ts.STOPWORDS[lang]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS t,
+         list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS tl
+  FROM documents
+)
+SELECT doc_id,
+  len(t) AS n_tokens,
+  length(text) AS n_chars,
+  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE)
+    / greatest(len(t), 1) AS mean_word_len,
+  CAST(len(list_filter(tl, x -> list_contains([{all_stop}], x))) AS DOUBLE)
+    / greatest(len(t), 1) AS stopword_ratio,
+  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+    / greatest(length(text), 1) AS punct_ratio
+FROM toks
+"""
+
+
+ORACLE_SQL: Dict[str, str] = {
+    "search_empty": "SELECT doc_id, source, lang, n_chars FROM documents",
+    "search_text": (
+        "SELECT doc_id, source, lang FROM documents "
+        "WHERE contains(lower(text), 'merge batch')"
+    ),
+    "search_name": (
+        "SELECT p_partkey, p_name, p_retailprice FROM part "
+        "WHERE contains(lower(p_name), 'widget')"
+    ),
+    "language_filter": "SELECT doc_id, source FROM documents WHERE lang = 'en'",
+    "token_search_distinct": """
+        SELECT DISTINCT doc_id, source FROM (
+          SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ) WHERE contains(tok, 'merge')
+    """,
+    "token_search_csv": """
+        SELECT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE contains(tok, 'merge')
+    """,
+    "join_search": """
+        SELECT l_orderkey, l_linenumber, o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE contains(lower(o_orderpriority), 'urgent')
+    """,
+    "pagination": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 25 OFFSET 100
+    """,
+    "detail_lookup": "SELECT * FROM documents WHERE doc_id = 42",
+    "stats_agg": """
+        SELECT count(ts) AS n_events, min(ts) AS started, max(ts) AS ended,
+               date_diff('second', min(ts), max(ts)) AS duration_s
+        FROM events
+    """,
+    "title_scrub": (
+        "SELECT c_custkey, regexp_replace(c_name, '[0-9]+$', '') AS scrubbed_name "
+        "FROM customer"
+    ),
+    "computed_flags": """
+        SELECT o_orderkey, o_orderstatus = 'O' AS is_open,
+               o_totalprice > 200000.0 AS is_big
+        FROM orders
+    """,
+    "latest_scope": """
+        SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)
+        )
+    """,
+    "topk_retention": """
+        SELECT o_orderkey, o_orderstatus, rn FROM (
+          SELECT o_orderkey, o_orderstatus,
+                 row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY o_orderdate DESC, o_orderkey ASC
+                 ) AS rn
+          FROM orders
+        ) WHERE rn > 5
+    """,
+    "group_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "window_hourly": """
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n, max(value) AS max_value
+        FROM events GROUP BY 1, 2
+    """,
+    "json_props": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_jaccard": _JACCARD_SQL.format(threshold=0.4),
+    "dedup_minhash_lsh": (
+        "SELECT doc_a, doc_b FROM (" + _JACCARD_SQL.format(threshold=0.7) + ")"
+    ),
+    "lang_id": _lang_id_sql(),
+    "quality": _quality_sql(),
+    "token_counts": r"""
+        SELECT doc_id,
+          len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS ws_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+        FROM documents
+    """,
+    "ann_topk": """
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 4
+        ), scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv) AS cos
+          FROM embeddings c, q WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+                 ) AS rn
+          FROM scored
+        ) WHERE rn <= 10
+    """,
+    "embedding_dup_pairs": """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+    # dedup_simhash, fingerprint_overlap, ann_lsh, ann_ivf,
+    # embedding_dup_pairs_lsh: approximate/custom-sketch operators with
+    # no faithful SQL mirror -> rows-only driver check; their exact
+    # semantics are pinned by tests/test_dedup.py & test_similarity.py.
+}
