@@ -99,6 +99,20 @@ def main() -> None:
         timings["extract_only"] = round(extract_s, 3)
 
         # ---- end-to-end crawl (the headline) -----------------------
+        # warm-up: 2 supersteps on a scratch dir so one-time costs
+        # (whole-stage-codegen Janino compiles, JIT, Python worker
+        # pool spin-up) are not charged to the steady-state number —
+        # on a long-lived cluster job they amortize to nothing
+        t0 = time.time()
+        run_crawl(
+            spark,
+            web,
+            "https://host0.test/p0/",
+            os.path.join(work, "crawl_warmup"),
+            max_supersteps=2,
+        )
+        timings["crawl_warmup"] = round(time.time() - t0, 3)
+
         t0 = time.time()
         result = run_crawl(
             spark,

@@ -72,6 +72,14 @@ from website_indexer_spark.sources.tables import (
     load_web_pages,
 )
 
+# Above this frontier size the per-superstep discovery_seq assignment
+# switches from a single-task window (one job, fine up to millions of
+# rows) to the distributed range-partition + offset enumeration
+# (three jobs, scales to any size). The switch is driver-side state —
+# it costs zero extra Spark jobs and both paths produce the identical
+# dense numbering.
+DISTRIBUTED_SEQ_THRESHOLD = 2_000_000
+
 
 @dataclass
 class CrawlResult:
@@ -111,6 +119,7 @@ def run_crawl(
     resume: bool = False,
     crawl_id: int = 1,
     max_supersteps: int = 1000,
+    verbose: bool = False,
 ) -> CrawlResult:
     policy = policy or CrawlPolicy(start_url=seed_url, max_pages=max_pages, depth=depth_cap)
     start_host = hostname_with_port(seed_url)
@@ -158,28 +167,45 @@ def run_crawl(
         for key in totals:
             totals[key] += m["counters"][key]
 
+    def _mark(label: str, t0: float) -> float:
+        now = time.time()
+        if verbose:
+            print(f"    [crawl] step {k} {label}: {now - t0:.2f}s", flush=True)
+        return now
+
     while k < max_supersteps:
+        t = time.time()
         frontier = frontier.persist()
         frontier_count = frontier.count()
+        t = _mark("frontier.count", t)
         if frontier_count == 0:
             break
         if max_pages and requested_total >= max_pages:
             break
 
         # --- politeness budget (A11) + mega-host salting -----------
-        selected, deferred = politeness_select(frontier, host_budget, salt_buckets)
-
-        # --- max_pages ordered cutoff (A10): reference counts every
-        # requested URL in visit order; the cutoff keeps the first
-        # `remaining` rows in (depth, discovery_seq) order.
-        if max_pages:
-            remaining = max_pages - requested_total
-            selected = (
-                selected.orderBy("depth", "discovery_seq").limit(remaining)
+        throttled = host_budget is not None or bool(max_pages)
+        if throttled:
+            selected, deferred = politeness_select(
+                frontier, host_budget, salt_buckets
             )
-
-        selected = selected.persist()
-        n_selected = selected.count()
+            # --- max_pages ordered cutoff (A10): reference counts
+            # every requested URL in visit order; the cutoff keeps the
+            # first `remaining` rows in (depth, discovery_seq) order.
+            if max_pages:
+                remaining = max_pages - requested_total
+                selected = (
+                    selected.orderBy("depth", "discovery_seq").limit(remaining)
+                )
+            selected = selected.persist()
+            n_selected = selected.count()
+        else:
+            # unthrottled superstep: selected IS the (already counted,
+            # already cached) frontier — no second count job, no empty
+            # deferred-side joins downstream
+            selected, deferred = frontier, None
+            n_selected = frontier_count
+        t = _mark("select", t)
         if n_selected == 0:
             frontier.unpersist()
             break
@@ -203,135 +229,119 @@ def run_crawl(
                 F.lit(0),
             )
             .otherwise(F.col("status_code")),
-        ).persist()
-
-        ts_col = F.coalesce(F.col("warc_ts"), F.current_timestamp())
-
-        # --- route: errors (A14) ------------------------------------
-        errors_delta = (
-            fetched.filter(
-                (F.col("eff_status") == 0) | (F.col("eff_status") >= 400)
-            )
-            .select(
-                F.lit(crawl_id).alias("crawl_id"),
-                ts_col.alias("timestamp"),
-                "url",
-                F.col("eff_status").cast("int").alias("status_code"),
-                F.when(F.col("parent_url") != F.col("url"), F.col("parent_url"))
-                .alias("referrer"),
-            )
         )
 
-        # --- route: redirects ---------------------------------------
-        redirects_raw = fetched.filter(
-            (F.col("eff_status") >= 300) & (F.col("eff_status") < 400)
-        )
-        redirects_delta = redirects_raw.select(
-            F.lit(crawl_id).alias("crawl_id"),
-            ts_col.alias("timestamp"),
-            "url",
-            F.col("eff_status").cast("int").alias("status_code"),
-            F.when(F.col("parent_url") != F.col("url"), F.col("parent_url")).alias(
-                "referrer"
-            ),
-            "location",
-        )
-        # follow same-host redirect locations (plugin.py:236-245):
-        # cross-host locations are recorded but never enqueued. The
-        # cross-host drop itself falls out of the one-hop gate (A5)
-        # when the redirecting page is off-host, and of the canonical
-        # host comparison otherwise. Locations may be relative —
-        # resolve them against the redirecting URL with the same
-        # canonicalization UDF as page links.
-        redirect_follows = (
-            redirects_raw.filter(F.col("location").isNotNull())
-            .select(
-                F.col("url").alias("parent_url"),
-                F.col("host").alias("parent_host"),
-                F.col("depth"),
-                F.col("discovery_seq").alias("parent_seq"),
-                F.explode(
-                    canonicalize_links_udf(
-                        F.col("url"),
-                        F.array(F.col("location")),
-                        F.lit(start_host),
-                    )
-                ).alias("url"),
-            )
-        )
-        # "Don't follow redirects that don't point to the start
-        # domain" (plugin.py:236-245) — unlike links, off-host
-        # redirect locations are never even one-hop probed.
-        redirect_follows = (
-            with_url_parts(redirect_follows)
-            .filter(F.col("host") == start_host)
-            .select(
-                "parent_url",
-                "parent_host",
-                "depth",
-                "parent_seq",
-                F.col("url").alias("raw_url"),
-            )
-        )
-
-        # --- route: on-host 200 text/html => extract (A16) ----------
-        ok200 = fetched.filter(
-            (F.col("eff_status") >= 200) & (F.col("eff_status") < 300)
-        )
-        on_host_html = ok200.filter(
-            (F.col("host") == start_host)
+        # --- route + extract in ONE projection (A14 + A16) -----------
+        # The response router is a CASE over eff_status, not three
+        # branch DataFrames: one cached plan feeds the routed write
+        # AND the frontier harvest, and the extract UDF runs exactly
+        # once per row (html is nulled out for non-page rows first, so
+        # the kernel short-circuits on errors/redirects/externals).
+        is_on_host_html = (
+            (F.col("eff_status") >= 200)
+            & (F.col("eff_status") < 300)
+            & (F.col("host") == start_host)
             & F.col("content_type").startswith("text/html")
             & F.col("html").isNotNull()
         )
-        extracted = on_host_html.withColumn(
-            "ex", extract_udf(F.col("html"), F.lit(start_host))
-        ).persist()
-
-        pages_delta = (
-            extracted.filter(F.col("ex.title").isNotNull())
-            .select(
-                F.lit(crawl_id).alias("crawl_id"),
-                ts_col.alias("timestamp"),
-                "url",
-                "depth",
-                "discovery_seq",
-                F.col("ex.title").alias("title"),
-                F.col("ex.language").alias("language"),
-                F.col("ex.text").alias("text"),
-                F.decode(F.col("html"), "UTF-8").alias("html"),
-                F.col("ex.links").alias("links"),
-                F.col("ex.components").alias("components"),
+        extracted = (
+            fetched.withColumn(
+                "ex",
+                extract_udf(
+                    F.when(is_on_host_html, F.col("html")), F.lit(start_host)
+                ),
             )
+            .withColumn(
+                "record_type",
+                F.when(
+                    (F.col("eff_status") == 0) | (F.col("eff_status") >= 400),
+                    F.lit("error"),
+                )
+                .when(
+                    (F.col("eff_status") >= 300) & (F.col("eff_status") < 400),
+                    F.lit("redirect"),
+                )
+                .when(
+                    is_on_host_html & F.col("ex.title").isNotNull(), F.lit("page")
+                ),
+            )
+            # rows with NULL record_type vanish entirely: external
+            # 200s, non-HTML content types, and no-title pages
+            # (plugin.py:274-281; models.py:125-126)
+            .filter(F.col("record_type").isNotNull())
+            .persist()
         )
 
-        # --- harvest new frontier candidates ------------------------
-        link_candidates = (
-            extracted.filter(F.col("ex.title").isNotNull())
-            .select(
+        is_page = F.col("record_type") == "page"
+        routed_delta = extracted.select(
+            "record_type",
+            F.lit(crawl_id).alias("crawl_id"),
+            F.coalesce(F.col("warc_ts"), F.current_timestamp()).alias("timestamp"),
+            "url",
+            F.when(is_page, F.col("depth")).alias("depth"),
+            F.when(is_page, F.col("discovery_seq")).alias("discovery_seq"),
+            F.col("ex.title").alias("title"),
+            F.col("ex.language").alias("language"),
+            F.col("ex.text").alias("text"),
+            F.when(is_page, F.decode(F.col("html"), "UTF-8")).alias("html"),
+            F.col("ex.links").alias("links"),
+            F.col("ex.components").alias("components"),
+            F.when(~is_page, F.col("eff_status").cast("int")).alias("status_code"),
+            F.when(
+                ~is_page & (F.col("parent_url") != F.col("url")),
+                F.col("parent_url"),
+            ).alias("referrer"),
+            F.when(F.col("record_type") == "redirect", F.col("location")).alias(
+                "location"
+            ),
+        )
+
+        # --- harvest new frontier candidates -------------------------
+        # Page links and redirect Locations share one canonicalize →
+        # url-parts → policy pipeline; redirect follows keep the
+        # redirecting row's depth and additionally require the
+        # canonical host to BE the start host ("don't follow redirects
+        # that don't point to the start domain", plugin.py:236-245) —
+        # unlike links, off-host locations are never one-hop probed.
+        raw_candidates = extracted.filter(is_page).select(
+            F.col("url").alias("parent_url"),
+            F.col("host").alias("parent_host"),
+            (F.col("depth") + 1).alias("depth"),
+            F.col("discovery_seq").alias("parent_seq"),
+            F.col("ex.links").alias("raws"),
+            F.lit(False).alias("from_redirect"),
+        ).unionByName(
+            extracted.filter(
+                (F.col("record_type") == "redirect")
+                & F.col("location").isNotNull()
+            ).select(
                 F.col("url").alias("parent_url"),
                 F.col("host").alias("parent_host"),
-                F.col("depth"),
+                F.col("depth").alias("depth"),
                 F.col("discovery_seq").alias("parent_seq"),
-                F.explode(
-                    canonicalize_links_udf(
-                        F.col("url"), F.col("ex.links"), F.lit(start_host)
-                    )
-                ).alias("raw_url"),
+                F.array(F.col("location")).alias("raws"),
+                F.lit(True).alias("from_redirect"),
             )
-            .withColumn("depth", F.col("depth") + 1)
         )
         if depth_cap:
-            link_candidates = link_candidates.filter(F.col("depth") <= depth_cap)
+            raw_candidates = raw_candidates.filter(F.col("depth") <= depth_cap)
 
-        candidates = link_candidates.select(
-            "parent_url", "parent_host", "depth", "parent_seq", "raw_url"
-        ).unionByName(
-            redirect_follows.select(
-                "parent_url", "parent_host", "depth", "parent_seq", "raw_url"
-            )
+        candidates = raw_candidates.select(
+            "parent_url",
+            "parent_host",
+            "depth",
+            "parent_seq",
+            "from_redirect",
+            F.explode(
+                canonicalize_links_udf(
+                    F.col("parent_url"), F.col("raws"), F.lit(start_host)
+                )
+            ).alias("url"),
         )
-        candidates = candidates.withColumnRenamed("raw_url", "url")
         candidates = with_url_parts(candidates)
+        candidates = candidates.filter(
+            ~F.col("from_redirect") | (F.col("host") == start_host)
+        )
 
         accepted = accept_url_filter(candidates, start_host, policy)
         accepted = robots_filter(accepted, robots)
@@ -343,9 +353,10 @@ def run_crawl(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        accepted = accepted.join(
-            deferred.select("url"), "url", "left_anti"
-        )
+        if deferred is not None:
+            accepted = accepted.join(
+                deferred.select("url"), "url", "left_anti"
+            )
         seen_now = store.read_all("seen").select("url_hash").unionByName(
             seen_delta.select("url_hash")
         )
@@ -356,50 +367,76 @@ def run_crawl(
         accepted = anti_join_seen(accepted, seen_now, bloom)
 
         # --- deterministic discovery order (§4.2.4) ------------------
-        enqueued = assign_ordered_seq(
-            accepted.select(
-                "url",
-                "host",
-                "depth",
-                "parent_url",
-                "parent_host",
-                "fetch_method",
-                "parent_seq",
-            ),
-            ["depth", "parent_seq", "url"],
-            start=seq_base,
-        ).drop("parent_seq")
-
-        next_frontier = deferred.select(*FRONTIER_SCHEMA.fieldNames()).unionByName(
-            enqueued.select(*FRONTIER_SCHEMA.fieldNames())
+        # Small frontiers (the common case; every frontier below
+        # DISTRIBUTED_SEQ_THRESHOLD rows) take a single-task window —
+        # one job, fused into the frontier write. Huge frontiers take
+        # the 3-job distributed enumeration. Identical dense numbering
+        # either way; the switch key (current frontier size) is free.
+        accepted = accepted.select(
+            "url",
+            "host",
+            "depth",
+            "parent_url",
+            "parent_host",
+            "fetch_method",
+            "parent_seq",
         )
+        if frontier_count > DISTRIBUTED_SEQ_THRESHOLD:
+            enqueued = assign_ordered_seq(
+                accepted, ["depth", "parent_seq", "url"], start=seq_base
+            ).drop("parent_seq")
+        else:
+            w_seq = Window.orderBy("depth", "parent_seq", "url")
+            enqueued = (
+                accepted.withColumn(
+                    "discovery_seq",
+                    F.row_number().over(w_seq).cast("long") + F.lit(seq_base - 1),
+                )
+                .drop("parent_seq")
+            )
+
+        next_frontier = enqueued.select(*FRONTIER_SCHEMA.fieldNames())
+        if deferred is not None:
+            next_frontier = deferred.select(
+                *FRONTIER_SCHEMA.fieldNames()
+            ).unionByName(next_frontier)
 
         # --- checkpoint: deltas then manifest (commit marker) --------
-        store.write_delta("pages", pages_delta, k)
-        store.write_delta("errors", errors_delta, k)
-        store.write_delta("redirects", redirects_delta, k)
+        # ONE write materializes all three routed sinks off the cached
+        # extraction; counters come from parquet metadata afterwards.
+        t = _mark("plan-build", t)
+        store.write_delta("routed", routed_delta, k, partition_by=["record_type"])
+        t = _mark("write-routed", t)
         store.write_delta("seen", seen_delta, k)
+        t = _mark("write-seen", t)
         store.write_delta("frontier", next_frontier, k)
+        t = _mark("write-frontier", t)
 
-        n_pages = store.spark.read.parquet(
-            f"{store.root}/pages/superstep={k}"
-        ).count()
-        n_errors = store.spark.read.parquet(
-            f"{store.root}/errors/superstep={k}"
-        ).count()
-        n_redirects = store.spark.read.parquet(
-            f"{store.root}/redirects/superstep={k}"
-        ).count()
+        counts = {
+            row["record_type"]: row["count"]
+            for row in store.spark.read.parquet(f"{store.root}/routed/superstep={k}")
+            .groupBy("record_type")
+            .count()
+            .collect()
+        }
+        n_pages = counts.get("page", 0)
+        n_errors = counts.get("error", 0)
+        n_redirects = counts.get("redirect", 0)
         next_count_df = store.spark.read.parquet(
             f"{store.root}/frontier/superstep={k}"
         )
+        t = _mark("count-routed", t)
         n_enqueued = next_count_df.count()
-        max_seq = next_count_df.agg(F.max("discovery_seq")).first()[0]
-        seq_base = max(seq_base, (max_seq or 0) + 1)
+        # dense numbering: the delta occupies [seq_base, seq_base+n)
+        n_new = n_enqueued if deferred is None else (
+            next_count_df.filter(F.col("discovery_seq") >= seq_base).count()
+        )
+        seq_base = seq_base + n_new
 
         totals["pages"] += n_pages
         totals["errors"] += n_errors
         totals["redirects"] += n_redirects
+        t = _mark("count-frontier", t)
         store.commit(
             k,
             {
@@ -414,10 +451,11 @@ def run_crawl(
         )
 
         frontier.unpersist()
-        selected.unpersist()
-        fetched.unpersist()
+        if selected is not frontier:
+            selected.unpersist()
         extracted.unpersist()
         frontier = store.read_frontier(k)
+        t = _mark("commit+unpersist", t)
         k += 1
 
     record = store.read_crawl_record() or {}

@@ -103,7 +103,38 @@ REDIRECTS_SCHEMA = T.StructType(
     ERRORS_SCHEMA.fields + [T.StructField("location", T.StringType())]
 )
 
-DELTA_TABLES = ("pages", "errors", "redirects", "seen")
+# Unified routed-results table: pages/errors/redirects share one
+# superset schema + record_type discriminator so each superstep
+# commits ONE write job for all three sinks (the extracted DataFrame
+# is cached once and fanned out inside a single action — the
+# "exchange reuse across the multi-sink fan-out" of SURVEY.md §4.2).
+ROUTED_SCHEMA = T.StructType(
+    [
+        T.StructField("record_type", T.StringType(), False),  # page|error|redirect
+        T.StructField("crawl_id", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("discovery_seq", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("html", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField("components", T.ArrayType(T.StringType())),
+        T.StructField("status_code", T.IntegerType()),
+        T.StructField("referrer", T.StringType()),
+        T.StructField("location", T.StringType()),
+    ]
+)
+
+_ROUTED_VIEWS = {
+    "pages": ("page", PAGES_SCHEMA),
+    "errors": ("error", ERRORS_SCHEMA),
+    "redirects": ("redirect", REDIRECTS_SCHEMA),
+}
+
+DELTA_TABLES = ("routed", "seen")
 SNAPSHOT_TABLES = ("frontier",)
 
 
@@ -165,9 +196,14 @@ class CrawlStore:
         return [self.read_manifest(k) for k in range(self.last_committed() + 1)]
 
     # --- writes ---------------------------------------------------
-    def write_delta(self, name: str, df: DataFrame, superstep: int) -> None:
+    def write_delta(
+        self, name: str, df: DataFrame, superstep: int, partition_by=None
+    ) -> None:
         path = os.path.join(self.root, name, f"superstep={superstep}")
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
 
     def commit(self, superstep: int, counters: dict) -> None:
         """Write the manifest LAST — it is the commit marker. Torn
@@ -217,13 +253,16 @@ class CrawlStore:
         return df.filter(F.col("superstep") <= self.last_committed()).drop("superstep")
 
     def read_all(self, name: str) -> DataFrame:
-        schema = {
-            "pages": PAGES_SCHEMA,
-            "errors": ERRORS_SCHEMA,
-            "redirects": REDIRECTS_SCHEMA,
-            "seen": SEEN_SCHEMA,
-        }[name]
-        return self._read(name, schema)
+        """Read a logical table across all committed supersteps. The
+        pages/errors/redirects views project out of the unified routed
+        table (record_type partition column prunes the scan)."""
+        if name in _ROUTED_VIEWS:
+            rtype, schema = _ROUTED_VIEWS[name]
+            routed = self._read("routed", ROUTED_SCHEMA)
+            return routed.filter(F.col("record_type") == rtype).select(
+                *[f.name for f in schema.fields]
+            )
+        return self._read(name, SEEN_SCHEMA)
 
     def read_frontier(self, superstep: int) -> DataFrame:
         path = os.path.join(self.root, "frontier", f"superstep={superstep}")
