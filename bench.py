@@ -60,6 +60,13 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", str(max(1000, int(60_000 * sf)))))
+    # web pages link to ~8 children (log_8 BFS depth): wide waves like
+    # a real site map, not a binary-tree worst case
+    branching = int(os.environ.get("BENCH_BRANCHING", "8"))
+    # the extraction microbench must be COMPUTE-bound to measure the
+    # kernel (not job fixed costs): replicate the corpus in-memory
+    # until it carries ~EXTRACT_TARGET_ROWS html blobs
+    extract_target = int(os.environ.get("BENCH_EXTRACT_ROWS", "100000"))
 
     spark = build_spark(
         app_name="wi-bench",
@@ -75,7 +82,12 @@ def main() -> None:
         corpus_path = os.path.join(work, "web_pages")
         t0 = time.time()
         generate_web_pages(
-            spark, n_pages=n_pages, n_hosts=20, seed=42, partitions=cpus
+            spark,
+            n_pages=n_pages,
+            n_hosts=20,
+            seed=42,
+            partitions=cpus,
+            branching=branching,
         ).write.mode("overwrite").parquet(corpus_path)
         timings["corpus_gen"] = round(time.time() - t0, 3)
 
@@ -87,11 +99,22 @@ def main() -> None:
 
         from website_indexer_spark.functions.udfs import extract_udf
 
-        t0 = time.time()
         html_pages = web.filter(F.col("html").isNotNull())
         n_html = html_pages.count()
+        replicate = max(1, -(-extract_target // max(n_html, 1)))
+        bench_pages = html_pages.crossJoin(
+            spark.range(replicate).select(F.col("id").alias("_rep"))
+        ).repartition(cpus * 4)
+        n_extract_rows = n_html * replicate
+        # warm the python worker pool + codegen outside the timed run
         _materialize(
-            html_pages.select(
+            html_pages.limit(64).select(
+                extract_udf(F.col("html"), F.lit("host0.test")).alias("ex")
+            )
+        )
+        t0 = time.time()
+        _materialize(
+            bench_pages.select(
                 "url", extract_udf(F.col("html"), F.lit("host0.test")).alias("ex")
             )
         )
@@ -147,7 +170,8 @@ def main() -> None:
                 "redirects": result.redirects,
                 "supersteps": result.supersteps,
                 "crawl_sec": round(crawl_s, 3),
-                "extract_pages_per_sec": round(n_html / extract_s, 2)
+                "extract_rows": n_extract_rows,
+                "extract_pages_per_sec": round(n_extract_rows / extract_s, 2)
                 if extract_s > 0
                 else 0.0,
             },

@@ -1,0 +1,113 @@
+"""Crawl-driver extras: robots gating (A12), mega-host salting
+(§4.2.1), and the crawl→viewer integration slice (SURVEY.md §7 step
+5's end-to-end milestone: crawl a site, then answer viewer queries
+over the crawled store)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import web_dict_to_df
+from tests.oracle_crawler import WebResponse, crawl as oracle_crawl, fixture_site
+from website_indexer_spark.plans import queries as Q
+from website_indexer_spark.plans.crawl import run_crawl
+
+
+def _site_with_two_sections():
+    H = "h.test"
+    mk = lambda body, title: (  # noqa: E731
+        f'<html lang="en"><head><title>{title}</title></head>'
+        f"<body>{body}</body></html>"
+    ).encode()
+    web = {
+        f"https://{H}/": WebResponse(
+            html=mk('<a href="/keep/">k</a> <a href="/private/x/">p</a>', "Home")
+        ),
+        f"https://{H}/keep/": WebResponse(html=mk("kept page text", "Keep")),
+        f"https://{H}/private/x/": WebResponse(html=mk("secret", "Secret")),
+    }
+    return web, f"https://{H}/"
+
+
+@pytest.mark.slow
+def test_robots_disallow_prefix(spark, tmp_path):
+    web, seed = _site_with_two_sections()
+    robots = spark.createDataFrame(
+        [("h.test", "/private/")], "host string, path_prefix string"
+    )
+    result = run_crawl(
+        spark, web_dict_to_df(spark, web), seed, str(tmp_path / "c"), robots=robots
+    )
+    urls = {r["url"] for r in result.store.read_all("pages").collect()}
+    assert "https://h.test/keep/" in urls
+    assert "https://h.test/private/x/" not in urls
+    # robots blocks the fetch entirely: not even in the seen set
+    seen = {r["url"] for r in result.store.read_all("seen").collect()}
+    assert "https://h.test/private/x/" not in seen
+
+
+@pytest.mark.slow
+def test_robots_default_off_matches_reference(spark, tmp_path):
+    """--no-robots is the reference default (wpull/crawler.py:35):
+    without a robots table the private section is crawled."""
+    web, seed = _site_with_two_sections()
+    result = run_crawl(spark, web_dict_to_df(spark, web), seed, str(tmp_path / "c"))
+    urls = {r["url"] for r in result.store.read_all("pages").collect()}
+    assert "https://h.test/private/x/" in urls
+
+
+@pytest.mark.slow
+def test_salting_preserves_final_state(spark, tmp_path):
+    """Deterministic mega-host salting must not change the crawl's
+    final state — only how the politeness window's work is spread."""
+    web, seed = fixture_site()
+    oracle = oracle_crawl(web, seed)
+    result = run_crawl(
+        spark,
+        web_dict_to_df(spark, web),
+        seed,
+        str(tmp_path / "c"),
+        host_budget=2,
+        salt_buckets=4,
+    )
+    pages = {r["url"] for r in result.store.read_all("pages").collect()}
+    assert pages == set(oracle.pages)
+    seen = {r["url"] for r in result.store.read_all("seen").collect()}
+    assert seen == set(oracle.requested)
+
+
+@pytest.mark.slow
+def test_crawl_then_viewer_queries(spark, tmp_path):
+    """The §7 minimum slice: crawl the reference fixture site, then
+    run the viewer surface over the crawled store."""
+    web, seed = fixture_site()
+    result = run_crawl(spark, web_dict_to_df(spark, web), seed, str(tmp_path / "c"))
+    pages = result.store.read_all("pages")
+
+    # search_text over crawled pages (viewer C2)
+    hits = Q.search_text(pages, "sample child page")
+    urls = [r["url"] for r in hits.collect()]
+    assert urls == [
+        "http://localhost:8000/child/",
+        "http://localhost:8000/child/?page=2",
+    ]
+
+    # component search distinct fork (C4) + component list (C10):
+    # only the homepage carries o-sample (sample/src/index.html)
+    assert Q.search_components(pages, "o-sample").count() == 1
+    comps = [r["class_name"] for r in Q.component_list(pages).collect()]
+    assert comps == ["o-sample"]
+
+    # links quote_plus fork (C5): fixture pages link via raw hrefs
+    assert Q.search_links(pages, "example").count() >= 1
+
+    # crawl stats (C11) + CSV render (C14)
+    stats = Q.crawl_stats(pages).first()
+    assert stats["count"] == 3
+    data = Q.render_csv(Q.search_empty(pages), Q.CSV_HEADERS["pages"])
+    assert data.decode("utf-8-sig").splitlines()[0].rstrip("\r") == (
+        "timestamp,url,title,language"
+    )
+
+    # errors surface with status filter (C6)
+    errors = result.store.read_all("errors")
+    assert Q.filter_status_code(errors, 404).count() == 1

@@ -20,7 +20,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        # scaling evidence needs compute-bound work units: a wide
+        # link tree (few, fat BFS waves) and a >=200k-row extraction
+        BENCH_CRAWL_PAGES=os.environ.get("SCALE_CRAWL_PAGES", "60000"),
+        BENCH_BRANCHING=os.environ.get("SCALE_BRANCHING", "32"),
+        BENCH_EXTRACT_ROWS=os.environ.get("SCALE_EXTRACT_ROWS", "200000"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env,
@@ -88,10 +97,14 @@ is minutes of work against seconds of fixed cost).
 
 ## Extraction kernel (pages parsed+extracted/sec, the hot path)
 
-| parallelism | html pages | pages/sec |
+Compute-bound measurement: {r_high['crawl'].get('extract_rows', '?')}
+html blobs per run (corpus replicated in-memory), worker pool and
+codegen warmed before timing.
+
+| parallelism | extracted rows | pages/sec |
 |---|---|---|
-| local[{low}] | {r_low['crawl']['html_rows']} | {ex_low} |
-| local[{high}] | {r_high['crawl']['html_rows']} | {ex_high} |
+| local[{low}] | {r_low['crawl'].get('extract_rows', '?')} | {ex_low} |
+| local[{high}] | {r_high['crawl'].get('extract_rows', '?')} | {ex_high} |
 
 **Extraction scaling efficiency ({low}→{high} cores): {extract_eff:.3f}**
 

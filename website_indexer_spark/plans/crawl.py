@@ -138,9 +138,11 @@ def run_crawl(
         store.rollback_uncommitted()
         last = store.last_committed()
         frontier = store.read_frontier(last)
+        frontier_count = 0
         for m in store.manifests():
             requested_total += m["counters"]["requested"]
             seq_base = max(seq_base, m["counters"]["seq_base"])
+            frontier_count = m["counters"]["enqueued"]
         k = last + 1
     else:
         # a FRESH run must not see a previous crawl's state: stale
@@ -148,6 +150,7 @@ def run_crawl(
         # seen set would anti-join the new frontier away
         store.clear()
         frontier = _seed_frontier(spark, seed_url, start_host)
+        frontier_count = 1
         k = 0
         store.write_crawl_record(
             {
@@ -175,11 +178,11 @@ def run_crawl(
 
     while k < max_supersteps:
         t = time.time()
-        frontier = frontier.persist()
-        frontier_count = frontier.count()
-        t = _mark("frontier.count", t)
+        # frontier size is driver-side state (the previous superstep's
+        # footer count / the manifest on resume) — no count job here
         if frontier_count == 0:
             break
+        frontier = frontier.persist()
         if max_pages and requested_total >= max_pages:
             break
 
@@ -407,30 +410,29 @@ def run_crawl(
         t = _mark("plan-build", t)
         store.write_delta("routed", routed_delta, k, partition_by=["record_type"])
         t = _mark("write-routed", t)
-        store.write_delta("seen", seen_delta, k)
+        # seen deltas are narrow (hash+url): single file keeps the
+        # table's file count equal to the superstep count
+        store.write_delta("seen", seen_delta.coalesce(1), k)
         t = _mark("write-seen", t)
         store.write_delta("frontier", next_frontier, k)
         t = _mark("write-frontier", t)
 
-        counts = {
-            row["record_type"]: row["count"]
-            for row in store.spark.read.parquet(f"{store.root}/routed/superstep={k}")
-            .groupBy("record_type")
-            .count()
-            .collect()
-        }
+        # counters from parquet footers — metadata only, no jobs
+        counts = store.footer_counts("routed", k)
         n_pages = counts.get("page", 0)
         n_errors = counts.get("error", 0)
         n_redirects = counts.get("redirect", 0)
-        next_count_df = store.spark.read.parquet(
-            f"{store.root}/frontier/superstep={k}"
-        )
-        t = _mark("count-routed", t)
-        n_enqueued = next_count_df.count()
+        n_enqueued = sum(store.footer_counts("frontier", k).values())
+        t = _mark("count-footers", t)
         # dense numbering: the delta occupies [seq_base, seq_base+n)
-        n_new = n_enqueued if deferred is None else (
-            next_count_df.filter(F.col("discovery_seq") >= seq_base).count()
-        )
+        if deferred is None:
+            n_new = n_enqueued
+        else:
+            n_new = (
+                store.read_frontier(k)
+                .filter(F.col("discovery_seq") >= seq_base)
+                .count()
+            )
         seq_base = seq_base + n_new
 
         totals["pages"] += n_pages
@@ -455,6 +457,7 @@ def run_crawl(
             selected.unpersist()
         extracted.unpersist()
         frontier = store.read_frontier(k)
+        frontier_count = n_enqueued
         t = _mark("commit+unpersist", t)
         k += 1
 

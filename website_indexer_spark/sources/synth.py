@@ -76,7 +76,9 @@ def _words(seed: int, h: int, i: int, k: int, n: int) -> str:
     )
 
 
-def _page_html(seed: int, h: int, i: int, host_size: int, n_hosts: int) -> str:
+def _page_html(
+    seed: int, h: int, i: int, host_size: int, n_hosts: int, branching: int = 2
+) -> str:
     hh = _h(seed, h, i, 1)
     lang = ["en", "es", None][hh % 3]
     lang_attr = f' lang="{lang}"' if lang else ""
@@ -88,7 +90,7 @@ def _page_html(seed: int, h: int, i: int, host_size: int, n_hosts: int) -> str:
         comps += f'<div class="{cls}">{_words(seed, h, i, 3 + c, 6)}</div>'
 
     links: List[str] = []
-    for child in (2 * i + 1, 2 * i + 2):
+    for child in range(branching * i + 1, branching * i + 1 + branching):
         if child < host_size:
             href = f"/p{child}/"
             if _h(seed, h, i, 4, child) % 37 == 0:
@@ -140,10 +142,15 @@ def generate_web_pages(
     n_hosts: int = 20,
     seed: int = 42,
     partitions: int = 32,
+    branching: int = 2,
 ) -> DataFrame:
     """Distributed deterministic generation: one input row per page id,
     1-5 output rows per page (the page + any special-URL rows its
-    links reference)."""
+    links reference). ``branching`` is each page's intra-host fanout:
+    page i links to children branching*i+1 .. branching*i+branching,
+    so BFS depth of a host of P pages is ~log_b(P) — small branching
+    stresses the superstep loop, large branching stresses per-wave
+    throughput."""
     bounds = host_boundaries(n_pages, n_hosts)
     base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc).timestamp()
 
@@ -156,7 +163,7 @@ def generate_web_pages(
                 i = pid - bounds[h]
                 host_size = bounds[h + 1] - bounds[h]
                 url = _page_url(h, i)
-                html = _page_html(seed, h, i, host_size, n_hosts)
+                html = _page_html(seed, h, i, host_size, n_hosts, branching)
                 page = extract_page_fields(html, _host_name(h))
                 ts = datetime.fromtimestamp(
                     base_ts + (_h(seed, h, i, 0) % 86_400_000) / 1000.0,
@@ -177,7 +184,7 @@ def generate_web_pages(
                 # special rows referenced by this page's links
                 hh = _h(seed, h, i, 1)
                 m = hh % 100
-                for child in (2 * i + 1, 2 * i + 2):
+                for child in range(branching * i + 1, branching * i + 1 + branching):
                     if child < host_size and _h(seed, h, i, 4, child) % 37 == 0:
                         rows.append(
                             (

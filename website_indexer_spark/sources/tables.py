@@ -205,6 +205,28 @@ class CrawlStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
+    def footer_counts(self, name: str, superstep: int) -> Dict[str, int]:
+        """Row counts for a just-written superstep delta straight from
+        the parquet footers — metadata reads, NO Spark job. Returns
+        counts per partition-directory value (e.g. record_type=page)
+        under the superstep dir; key '' holds unpartitioned files'
+        rows. The driver-side analogue of Iceberg snapshot summaries."""
+        import pyarrow.parquet as pq
+
+        base = os.path.join(self.root, name, f"superstep={superstep}")
+        counts: Dict[str, int] = {}
+        for dirpath, _dirs, files in os.walk(base):
+            rel = os.path.relpath(dirpath, base)
+            part = ""
+            if "=" in rel:
+                part = rel.split("=", 1)[1]
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                n = pq.ParquetFile(os.path.join(dirpath, fname)).metadata.num_rows
+                counts[part] = counts.get(part, 0) + n
+        return counts
+
     def commit(self, superstep: int, counters: dict) -> None:
         """Write the manifest LAST — it is the commit marker. Torn
         superstep directories without a manifest are invisible to
