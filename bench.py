@@ -71,7 +71,15 @@ def main() -> None:
     spark = build_spark(
         app_name="wi-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 16),
+        # modest fixed shuffle width: AQE re-coalesces at runtime, and
+        # at bench scale wide shuffles only add scheduling overhead
+        shuffle_partitions=16,
+        extra_conf={
+            # local mode: the driver JVM IS the executor — size it for
+            # cpus concurrent tasks over multi-MB html rows (the 1g
+            # default thrashes GC and inverts the core-count scaling)
+            "spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "16g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
