@@ -19,6 +19,13 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _burn(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def cpu_ceiling(low: int, high: int) -> float:
     """The VM's attainable CPU-scaling ratio low→high, measured with
     pure-Python busy workers (no Spark). On this sandbox the 32
@@ -27,16 +34,10 @@ def cpu_ceiling(low: int, high: int) -> float:
     import multiprocessing as mp
     import time
 
-    def burn(n):
-        x = 0
-        for i in range(n):
-            x += i * i
-        return x
-
     def rate(k, n=3_000_000):
         with mp.Pool(k) as p:
             t0 = time.time()
-            p.map(burn, [n] * k * 2)
+            p.map(_burn, [n] * k * 2)
             return (k * 2 * n) / (time.time() - t0)
 
     best_low = max(rate(low) for _ in range(2))
@@ -51,9 +52,10 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         # scaling evidence needs compute-bound work units: a wide
         # link tree (few, fat BFS waves) and a >=200k-row extraction
-        BENCH_CRAWL_PAGES=os.environ.get("SCALE_CRAWL_PAGES", "60000"),
+        BENCH_CRAWL_PAGES=os.environ.get("SCALE_CRAWL_PAGES", "600000"),
         BENCH_BRANCHING=os.environ.get("SCALE_BRANCHING", "32"),
-        BENCH_EXTRACT_ROWS=os.environ.get("SCALE_EXTRACT_ROWS", "200000"),
+        BENCH_EXTRACT_ROWS=os.environ.get("SCALE_EXTRACT_ROWS", "300000"),
+        BENCH_CORPUS_DIR=os.environ.get("SCALE_CORPUS_DIR", "/tmp/wi_scale_corpus"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
@@ -79,6 +81,23 @@ def main() -> None:
     # of the true cost under external interference
     repeats = int(os.environ.get("SCALE_REPEATS", "2"))
 
+    def merge_best(runs):
+        # per-metric best across runs (per-metric min-time)
+        merged = max(runs, key=lambda r: r["value"])
+        merged = json.loads(json.dumps(merged))  # deep copy
+        merged["crawl"]["extract_pages_per_sec"] = max(
+            r["crawl"]["extract_pages_per_sec"] for r in runs
+        )
+        merged["crawl"]["crawl_sec"] = min(r["crawl"]["crawl_sec"] for r in runs)
+        merged["value"] = round(
+            merged["crawl"]["requested"] / merged["crawl"]["crawl_sec"], 2
+        )
+        for q in merged["queries"]:
+            merged["queries"][q] = min(
+                r["queries"].get(q, merged["queries"][q]) for r in runs
+            )
+        return merged
+
     def best(cpus: int) -> dict:
         runs = []
         for i in range(repeats):
@@ -87,21 +106,21 @@ def main() -> None:
             r = run_bench(cpus, sf_dir)
             print(json.dumps(r), flush=True)
             runs.append(r)
-        # merge per-metric best across runs (per-metric min-time)
-        merged = max(runs, key=lambda r: r["value"])
-        merged = json.loads(json.dumps(merged))  # deep copy
-        merged["crawl"]["extract_pages_per_sec"] = max(
-            r["crawl"]["extract_pages_per_sec"] for r in runs
-        )
-        merged["crawl"]["crawl_sec"] = min(r["crawl"]["crawl_sec"] for r in runs)
-        for q in merged["queries"]:
-            merged["queries"][q] = min(
-                r["queries"].get(q, merged["queries"][q]) for r in runs
-            )
-        return merged
+        return merge_best(runs)
 
-    r_low = best(low)
-    r_high = best(high)
+    from_log = os.environ.get("SCALE_FROM_LOG")
+    if from_log:
+        # salvage mode: reuse bench JSON lines from a previous run's log
+        runs = []
+        with open(from_log) as f:
+            for line in f:
+                if line.startswith("{"):
+                    runs.append(json.loads(line))
+        r_low = merge_best([r for r in runs if r["cpus"] == low])
+        r_high = merge_best([r for r in runs if r["cpus"] == high])
+    else:
+        r_low = best(low)
+        r_high = best(high)
 
     print("measuring the VM's attainable CPU-scaling ceiling ...", flush=True)
     ceiling = cpu_ceiling(low, high)

@@ -8,14 +8,19 @@ embedding-space variant in operators/similarity.py):
 * n-gram Jaccard   — exact all-pairs similarity via shingle inverted
                      index (explode → self-join on shingle → count).
                      The ground truth the approximate methods target.
-* MinHash + LSH    — banded signature join: documents collide iff one
-                     band of their MinHash signature matches. Shuffle
+* MinHash + LSH    — banded signature join (Broder, "On the
+                     resemblance and containment of documents", 1997;
+                     banding per Leskovec/Rajaraman/Ullman MMDS ch.3):
+                     documents collide iff one band of their MinHash
+                     signature matches. Shuffle
                      is on (band, band-hash) — uniform — and the
                      candidate set is verified with exact Jaccard so
                      output precision is 1.0 (recall is the standard
                      1-(1-j^r)^b S-curve).
-* SimHash          — 64-bit hyperplane sketch; near-dup = Hamming
-                     distance <= d. Banded by bit-blocks (pigeonhole:
+* SimHash          — 64-bit hyperplane sketch (Charikar, "Similarity
+                     estimation techniques from rounding algorithms",
+                     STOC 2002; used for web near-dup by Manku et al.,
+                     WWW 2007); near-dup = Hamming distance <= d. Banded by bit-blocks (pigeonhole:
                      d < n_blocks forces >=1 exact block match) so the
                      join is equi, never a cross product.
 * fingerprint      — winnowing overlap (functions/textstats.py).

@@ -5,11 +5,14 @@ Three operators:
 * brute_force_topk — exact cosine top-k per query vector. The query
   side is tiny (broadcast); the corpus side streams through one
   projection + a per-query window top-k. Baseline/oracle.
-* lsh_topk        — random-hyperplane LSH buckets: corpus and
+* lsh_topk        — random-hyperplane LSH buckets (Charikar, STOC
+  2002): corpus and
   queries hash to sign-bit codes; candidates share a code band,
   exact cosine re-rank inside buckets. The 100 TB path: the corpus
   is hashed once (write-time), a query touches only its buckets.
-* ivf_topk        — IVF-style coarse quantization: k-means-ish
+* ivf_topk        — IVF-style coarse quantization (inverted-file
+  index as in Jegou et al., "Product quantization for nearest
+  neighbor search", TPAMI 2011 — coarse stage only, no PQ codes): k-means-ish
   centroids picked deterministically, vectors assigned to nearest
   centroid partition, query probes `nprobe` nearest centroids. Like
   LSH this prunes the scan; unlike LSH the partitions follow the

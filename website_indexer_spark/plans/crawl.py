@@ -80,6 +80,15 @@ from website_indexer_spark.sources.tables import (
 # dense numbering.
 DISTRIBUTED_SEQ_THRESHOLD = 2_000_000
 
+# Fetch-simulation join strategy: below this frontier size the wave
+# is broadcast and the web_pages scan streams map-side (NO shuffle of
+# the huge lookup table per superstep); above it, fall back to the
+# shuffle join — which on a real deployment is a storage-partitioned
+# join against the url-hash-bucketed Iceberg table (no shuffle of the
+# big side either). The driver-side frontier count picks the path for
+# free.
+BROADCAST_FETCH_THRESHOLD = 2_000_000
+
 
 @dataclass
 class CrawlResult:
@@ -220,7 +229,14 @@ def run_crawl(
         )
 
         # --- fetch-simulate: lookup join into web_pages (A13) -------
-        fetched = selected.join(web, "url", "left")
+        # left-outer from the frontier's perspective; executed as a
+        # broadcast of the wave streaming over the web scan whenever
+        # the wave fits (politeness budgets bound it), so the multi-TB
+        # lookup side is never shuffled per superstep
+        if frontier_count <= BROADCAST_FETCH_THRESHOLD:
+            fetched = web.join(F.broadcast(selected), "url", "right")
+        else:
+            fetched = selected.join(web, "url", "left")
         # status: missing row or NULL html with 200 => network error 0
         fetched = fetched.withColumn(
             "eff_status",
