@@ -129,6 +129,7 @@ def run_crawl(
     crawl_id: int = 1,
     max_supersteps: int = 1000,
     verbose: bool = False,
+    cache_lookup: bool = True,
 ) -> CrawlResult:
     policy = policy or CrawlPolicy(start_url=seed_url, max_pages=max_pages, depth=depth_cap)
     start_host = hostname_with_port(seed_url)
@@ -139,6 +140,14 @@ def run_crawl(
     web = web_pages.select(
         "url", "warc_ts", "html", "status_code", "location", "content_type"
     )
+    # the lookup table is streamed EVERY superstep (the broadcast
+    # fetch join scans it); cache it once so later waves read the
+    # columnar cache instead of re-decompressing parquet. On a real
+    # cluster the equivalent is a url-hash-bucketed Iceberg table
+    # (storage-partitioned join) — caching 100 TB is not an option,
+    # pruning + bucket-local joins are.
+    if cache_lookup:
+        web = web.persist()
 
     requested_total = 0
     seq_base = 1  # seed took seq 0
