@@ -196,6 +196,105 @@ def q_json_props(spark, sf):  # semi-structured extraction
 
 
 # --------------------------------------------------------------------
+# Wider relational surface (beyond the reference's own operator set —
+# §2.E notes the reference has no rollup/set-ops/sessionization; the
+# engine supports them as first-class, oracle-verified operators)
+# --------------------------------------------------------------------
+
+def q_rollup_agg(spark, sf):  # GROUPING SETS / ROLLUP
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+def q_set_ops(spark, sf):  # EXCEPT ∘ INTERSECT ∘ UNION
+    docs = _t(spark, sf, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    long_docs = docs.filter(F.col("n_chars") > 300).select("doc_id")
+    merge_docs = docs.filter(
+        F.contains(F.col("text"), F.lit("merge"))
+    ).select("doc_id")
+    return en.intersect(long_docs).exceptAll(merge_docs).distinct()
+
+
+def q_sessionize(spark, sf):  # gap-based sessionization (30 min)
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+                F.lit(10**9),
+            )
+            > 1800
+        ).cast("long"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = gapped.withColumn("session_id", F.sum("new_session").over(w2))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q_range_join(spark, sf):  # interval/range join
+    ev = _t(spark, sf, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    follow = ev.alias("e").join(
+        errs.alias("r"),
+        (F.col("e.user_id") == F.col("r.err_user"))
+        & (F.col("e.ts") > F.col("r.err_ts"))
+        & (
+            F.unix_timestamp("e.ts") - F.unix_timestamp("r.err_ts") <= 600
+        ),
+    )
+    return follow.groupBy("err_id").agg(
+        F.count("*").alias("n_follow"),
+        F.min("e.ts").alias("first_follow"),
+    )
+
+
+def q_median_by_type(spark, sf):  # exact median aggregate per group
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.median("value").alias("median_value"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_pivot_daily(spark, sf):  # pivoted conditional aggregation
+    # day as a string: date objects cross Spark/DuckDB->pandas with
+    # different dtypes and defeat the value-hash comparison
+    ev = _t(spark, sf, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return ev.groupBy("day").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("clicks"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("views"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errors"),
+        F.count("*").alias("total"),
+    )
+
+
+# --------------------------------------------------------------------
 # Training-data operators over documents/embeddings
 # --------------------------------------------------------------------
 
@@ -307,6 +406,12 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "group_agg": q_group_agg,
     "window_hourly": q_window_hourly,
     "json_props": q_json_props,
+    "rollup_agg": q_rollup_agg,
+    "set_ops": q_set_ops,
+    "sessionize": q_sessionize,
+    "range_join": q_range_join,
+    "median_by_type": q_median_by_type,
+    "pivot_daily": q_pivot_daily,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -484,6 +589,71 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "set_ops": """
+        SELECT DISTINCT doc_id FROM (
+          (SELECT doc_id FROM documents WHERE lang = 'en'
+           INTERSECT
+           SELECT doc_id FROM documents WHERE n_chars > 300)
+          EXCEPT
+          SELECT doc_id FROM documents WHERE contains(text, 'merge')
+        )
+    """,
+    "sessionize": """
+        WITH gapped AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN coalesce(
+                   date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts),
+                   1000000000) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ), sess AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS session_id
+          FROM gapped
+        )
+        SELECT user_id, session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "range_join": """
+        SELECT r.event_id AS err_id,
+               CAST(count(*) AS BIGINT) AS n_follow,
+               min(e.ts) AS first_follow
+        FROM events e
+        JOIN (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error') r
+          ON e.user_id = r.user_id
+         AND e.ts > r.ts
+         AND date_diff('second', r.ts, e.ts) <= 600
+        GROUP BY r.event_id
+    """,
+    "median_by_type": """
+        SELECT event_type, median(value) AS median_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    "pivot_daily": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS errors,
+               CAST(count(*) AS BIGINT) AS total
+        FROM events GROUP BY strftime(ts, '%Y-%m-%d')
     """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
