@@ -111,3 +111,43 @@ def test_crawl_then_viewer_queries(spark, tmp_path):
     # errors surface with status filter (C6)
     errors = result.store.read_all("errors")
     assert Q.filter_status_code(errors, 404).count() == 1
+
+
+@pytest.mark.slow
+def test_all_scale_features_combined(spark, tmp_path):
+    """Politeness budget + mega-host salting + Bloom prefilter all at
+    once on a generated site: the scale features must compose without
+    changing the final crawl state."""
+    from website_indexer_spark.sources.synth import generate_web_pages
+
+    web_df = generate_web_pages(
+        spark, n_pages=200, n_hosts=4, partitions=4
+    ).persist()
+    rows = web_df.collect()
+    web = {
+        r["url"]: WebResponse(
+            html=bytes(r["html"]) if r["html"] is not None else None,
+            status_code=r["status_code"],
+            location=r["location"],
+            content_type=r["content_type"],
+        )
+        for r in rows
+    }
+    seed = "https://host0.test/p0/"
+    oracle = oracle_crawl(web, seed)
+
+    result = run_crawl(
+        spark,
+        web_df,
+        seed,
+        str(tmp_path / "c"),
+        host_budget=7,
+        salt_buckets=3,
+        use_bloom=True,
+        bloom_bits=1 << 14,
+    )
+    pages = {r["url"] for r in result.store.read_all("pages").collect()}
+    seen = {r["url"] for r in result.store.read_all("seen").collect()}
+    assert pages == set(oracle.pages)
+    assert seen == set(oracle.requested)
+    assert result.supersteps > 3  # budget forces extra waves
