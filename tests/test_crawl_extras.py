@@ -151,3 +151,29 @@ def test_all_scale_features_combined(spark, tmp_path):
     assert pages == set(oracle.pages)
     assert seen == set(oracle.requested)
     assert result.supersteps > 3  # budget forces extra waves
+
+
+@pytest.mark.slow
+def test_large_scale_paths_forced(spark, tmp_path, monkeypatch):
+    """Force the >threshold code paths (distributed discovery_seq
+    enumeration + shuffle fetch join) that normally engage only on
+    huge frontiers; final state must equal the small-path crawl."""
+    from website_indexer_spark.plans import crawl as C
+
+    web, seed = fixture_site()
+    oracle = oracle_crawl(web, seed)
+    monkeypatch.setattr(C, "DISTRIBUTED_SEQ_THRESHOLD", 0)
+    monkeypatch.setattr(C, "BROADCAST_FETCH_THRESHOLD", 0)
+    result = C.run_crawl(
+        spark, web_dict_to_df(spark, web), seed, str(tmp_path / "c")
+    )
+    pages = {r["url"] for r in result.store.read_all("pages").collect()}
+    seen = {r["url"] for r in result.store.read_all("seen").collect()}
+    assert pages == set(oracle.pages)
+    assert seen == set(oracle.requested)
+    # ordering must match too: BFS depth assignments preserved
+    depths = {
+        r["url"]: r["depth"] for r in result.store.read_all("pages").collect()
+    }
+    for url, expected in oracle.pages.items():
+        assert depths[url] == expected["depth"], url
