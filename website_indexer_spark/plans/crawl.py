@@ -4,13 +4,21 @@ One superstep = one DataFrame job wave:
 
     frontier_k --politeness window--> selected
              --max_pages ordered cutoff--> requested (=> seen delta)
-             --lookup join web_pages--> fetched
-             --route--> errors / redirects / on-host html
-             --extract pandas UDF--> pages delta
-             --explode links + canonicalize + policy filter--> new links
-             --dedup (delta, deferred, seen)--> enqueued
-             --ordered seq assignment--> frontier_{k+1} (+ deferred)
-             --checkpoint deltas + manifest--> commit
+             --fetch join web_pages (wave broadcast, lookup side
+               streams unshuffled; shuffle-join fallback for waves
+               over BROADCAST_FETCH_THRESHOLD)--> fetched
+             --route+extract in ONE CASE projection (pandas UDF runs
+               once per row)--> routed (page|error|redirect)
+             --page links ∪ redirect locations --> one canonicalize +
+               policy pipeline--> accepted
+             --dedup (delta window, deferred, seen anti-join w/
+               optional Bloom prefilter)--> enqueued
+             --discovery_seq (fused window, or distributed
+               enumeration over DISTRIBUTED_SEQ_THRESHOLD)-->
+               frontier_{k+1} (+ deferred)
+             --checkpoint: ONE record_type-partitioned routed write +
+               seen + frontier; counters from parquet footers;
+               manifest commit marker--> next superstep
 
 Reference semantics reproduced (citations into /root/reference/):
 * BFS by level, FIFO within level, deterministic total order
