@@ -1,4 +1,4 @@
-"""Frontier-state operators: URL-seen dedup, Bloom prefilter,
+"""Frontier-state operators: URL-seen dedup, striped Bloom prefilter,
 politeness budgets, skew salting, and distributed ordered enumeration.
 
 These are the custom physical operators SURVEY.md §4.2 calls out — all
@@ -10,11 +10,32 @@ Reference analogues:
   (crawl,url) unique constraint (models.py:77-79)
 * politeness: wpull --wait serial pacing (wpull/crawler.py:36-41),
   re-expressed as a per-host budget per superstep
+
+Scale design (the 10^10-seen-URL story):
+
+* ``exclude_keys`` never shuffles the big (seen/deferred) side: the
+  wave's keys are broadcast, the big side streams map-side through a
+  LeftSemi BuildRight, and only the (wave-bounded) hits come back to
+  build the final LeftAnti. No ``.distinct()`` — seen deltas are
+  unique by construction (they are post-anti-join selected waves), so
+  re-aggregating 10^10 rows per superstep would be pure waste.
+* ``StripedBloom`` is persistent and incremental: per-bucket bitmap
+  files under the crawl store, OR-updated with each wave's (small)
+  seen delta instead of being rebuilt from the full history, and
+  auto-sized from the manifest's cumulative seen count. No driver
+  ever holds the whole filter: updates merge one bucket at a time
+  and probes lazily load only the buckets a task actually touches.
+  False positives only cost an exact-join probe; false negatives are
+  impossible for committed keys (bitmaps are written before the
+  superstep's manifest commit, so the filter is always a superset of
+  the committed seen set — crash-safe by construction).
 """
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Tuple
+import json
+import os
+from typing import Iterator, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -25,100 +46,311 @@ URL_HASH = lambda col: F.xxhash64(col)  # noqa: E731 — canonical url hash
 
 
 # --------------------------------------------------------------------
-# Bloom prefilter (SURVEY.md §4.2.2)
-#
-# At 10^10 seen URLs, anti-joining the full frontier against the seen
-# table every superstep shuffles both sides. The Bloom filter is built
-# per seen-partition (mapInPandas -> one bitmap row each), OR-merged at
-# the driver, and broadcast; frontier rows whose hashes are definitely
-# absent skip the exact join. Bloom-positive rows still go through the
-# exact anti-join, so the final seen set is EXACT (false positives only
-# cost a join probe, never a wrong dedup).
+# Exact seen-set dedup (A3) without shuffling the seen side
 # --------------------------------------------------------------------
 
-BLOOM_K = 4  # hash probes per key
+def exclude_keys(
+    df: DataFrame,
+    exclude: DataFrame,
+    key: str,
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """Rows of ``df`` whose ``key`` does not appear in ``exclude``.
 
+    broadcast_df=True (the wave-sized default): the huge exclude side
+    is NEVER shuffled — ``df``'s keys broadcast into a LeftSemi that
+    streams the exclude scan map-side, and only the hits (bounded by
+    ``df``'s size) are broadcast back into the final LeftAnti. Both
+    joins are BroadcastHashJoin BuildRight; the exclude table sees one
+    sequential scan and zero exchanges.
 
-def _bloom_positions(hashes: np.ndarray, nbits: int) -> Iterator[np.ndarray]:
-    h = hashes.astype(np.uint64)
-    h1 = h
-    h2 = (h * np.uint64(0x9E3779B97F4A7C15)) ^ (h >> np.uint64(29))
-    for i in range(BLOOM_K):
-        yield ((h1 + np.uint64(i) * h2) % np.uint64(nbits)).astype(np.int64)
-
-
-def build_bloom(seen: DataFrame, nbits: int = 1 << 23) -> bytes:
-    """Build a Bloom bitmap over seen.url_hash: one partial bitmap per
-    partition, bitwise-OR merged on the driver. nbits is sized by the
-    caller from the manifest's seen-count (target ~10 bits/key)."""
-    nbytes = nbits // 8
-
-    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitmap = np.zeros(nbytes, dtype=np.uint8)
-        nonempty = False
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            nonempty = True
-            hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
-            for pos in _bloom_positions(hashes, nbits):
-                np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-        if nonempty:
-            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
-
-    parts = seen.select("url_hash").mapInPandas(
-        per_partition, "bitmap binary"
-    ).collect()
-    merged = np.zeros(nbytes, dtype=np.uint8)
-    for row in parts:
-        merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    return merged.tobytes()
-
-
-def bloom_maybe_seen_udf(spark, bitmap: bytes, nbits: int):
-    """Returns a vectorized predicate column fn: url_hash -> maybe-seen.
-    The bitmap travels to executors as a Spark broadcast variable."""
-    bc = spark.sparkContext.broadcast(bitmap)
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("boolean")
-    def maybe_seen(url_hash: pd.Series) -> pd.Series:
-        bits = np.frombuffer(bc.value, dtype=np.uint8)
-        hashes = url_hash.to_numpy(dtype=np.int64)
-        result = np.ones(len(hashes), dtype=bool)
-        for pos in _bloom_positions(hashes, nbits):
-            result &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
-        return pd.Series(result)
-
-    return maybe_seen
+    broadcast_df=False (huge-delta fallback): a plain shuffled
+    left_anti on ``key`` — on a real deployment this is a
+    storage-partitioned join against the key-bucketed table.
+    """
+    if broadcast_df:
+        hits = exclude.select(key).join(
+            F.broadcast(df.select(key)), key, "left_semi"
+        )
+        return df.join(F.broadcast(hits), key, "left_anti")
+    return df.join(exclude.select(key), key, "left_anti")
 
 
 def anti_join_seen(
     frontier: DataFrame,
     seen: DataFrame,
-    bloom: Optional[Tuple] = None,
+    bloom: Optional["StripedBloom"] = None,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """A3 request-once dedup: frontier rows not in the seen set.
 
-    With a Bloom prefilter (bitmap, nbits, spark) only maybe-seen rows
-    pay the exact anti-join shuffle; definitely-unseen rows bypass it.
-    Both sides of the exact join are hashed on url_hash, so the join
-    shuffles on a uniformly-distributed key (no host skew).
+    With a StripedBloom prefilter only maybe-seen rows pay the exact
+    check; definitely-unseen rows bypass it (no false negatives for
+    committed keys, so the final seen set stays EXACT). The exact
+    check uses ``exclude_keys``: the seen side streams map-side
+    unshuffled whenever the candidate delta is broadcastable.
     """
     f = frontier.withColumn("url_hash", URL_HASH(F.col("url")))
+    seen_keys = seen.select("url_hash")
     if bloom is None:
-        return f.join(
-            seen.select("url_hash").distinct(), "url_hash", "left_anti"
-        ).drop("url_hash")
-    spark, bitmap, nbits = bloom
-    maybe = bloom_maybe_seen_udf(spark, bitmap, nbits)
-    f = f.withColumn("_maybe_seen", maybe(F.col("url_hash")))
-    fast_path = f.filter(~F.col("_maybe_seen"))
-    slow_path = f.filter(F.col("_maybe_seen")).join(
-        seen.select("url_hash").distinct(), "url_hash", "left_anti"
+        return exclude_keys(f, seen_keys, "url_hash", broadcast_frontier).drop(
+            "url_hash"
+        )
+    maybe = bloom.probe_udf()
+    fast_path = f.filter(~maybe(F.col("url_hash")))
+    slow_path = exclude_keys(
+        f.filter(maybe(F.col("url_hash"))),
+        seen_keys,
+        "url_hash",
+        broadcast_frontier,
     )
-    return fast_path.unionByName(slow_path).drop("url_hash", "_maybe_seen")
+    return fast_path.unionByName(slow_path).drop("url_hash")
+
+
+# --------------------------------------------------------------------
+# Striped persistent Bloom filter (SURVEY.md §4.2.2)
+# --------------------------------------------------------------------
+
+BLOOM_K = 4  # hash probes per key
+BLOOM_BITS_PER_KEY = 10  # ~1% false-positive rate at k=4
+BLOOM_MIN_BUCKET_BITS = 1 << 13  # floor so tiny crawls get sane files
+
+# per-executor-worker bitmap cache: path -> (version, {bucket: ndarray})
+_BLOOM_CACHE: dict = {}
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche so bit positions are independent of
+    the bucket id (bucket = raw hash mod n_buckets)."""
+    z = h.astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(hashes: np.ndarray, nbits: int) -> Iterator[np.ndarray]:
+    h = _mix64(hashes)
+    h1 = h
+    h2 = (h * np.uint64(0x9E3779B97F4A7C15)) ^ (h >> np.uint64(29))
+    h2 = h2 | np.uint64(1)
+    for i in range(BLOOM_K):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(nbits)).astype(np.int64)
+
+
+def _bucket_of(hashes: np.ndarray, n_buckets: int) -> np.ndarray:
+    # matches Spark's pmod(url_hash, n_buckets): non-negative remainder
+    return (hashes.astype(np.int64) % np.int64(n_buckets)).astype(np.int64)
+
+
+def _set_bits(bitmap: np.ndarray, hashes: np.ndarray, nbits: int) -> None:
+    for pos in _bloom_positions(hashes, nbits):
+        np.bitwise_or.at(
+            bitmap, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8))
+        )
+
+
+class StripedBloom:
+    """Persistent, incrementally-updated, bucket-striped Bloom filter
+    over ``url_hash`` keys, stored as one bitmap file per bucket under
+    ``<dir>/bucket=<b>.bin`` plus a ``meta.json``.
+
+    * build/update: distributed partial bitmaps (mapInPandas, one row
+      per (input-partition, bucket)) OR-merged one bucket at a time —
+      the driver's peak memory is a single bucket's bitmap, not the
+      whole filter.
+    * probe: a vectorized pandas UDF that lazily loads only the
+      buckets present in its Arrow batch (per-worker cache keyed by
+      filter version). Repartitioning the probe side by
+      ``pmod(url_hash, n_buckets)`` bounds any one task to ~1 bucket;
+      without it correctness is unchanged, only worker cache footprint
+      grows. Bucket files live in the crawl store (shared storage on
+      a cluster), so executors read them directly — nothing is
+      broadcast from the driver.
+    """
+
+    def __init__(
+        self, root: str, n_buckets: int, bucket_bits: int, version: int, built_keys: int
+    ):
+        self.root = root
+        self.n_buckets = n_buckets
+        self.bucket_bits = bucket_bits
+        self.version = version
+        self.built_keys = built_keys
+
+    # --- layout ---------------------------------------------------
+    @staticmethod
+    def _dir(root: str) -> str:
+        return os.path.join(root, "bloom")
+
+    def _bucket_path(self, bucket: int) -> str:
+        return os.path.join(self._dir(self.root), f"bucket={bucket}.bin")
+
+    @classmethod
+    def _meta_path(cls, root: str) -> str:
+        return os.path.join(cls._dir(root), "meta.json")
+
+    # --- lifecycle ------------------------------------------------
+    @classmethod
+    def load(cls, root: str) -> Optional["StripedBloom"]:
+        path = cls._meta_path(root)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            meta = json.load(f)
+        return cls(
+            root,
+            meta["n_buckets"],
+            meta["bucket_bits"],
+            meta["version"],
+            meta["built_keys"],
+        )
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        expected_keys: int,
+        n_buckets: int = 8,
+        total_bits: Optional[int] = None,
+    ) -> "StripedBloom":
+        """Size from the expected key count (~10 bits/key rounded up to
+        a power of two per bucket); ``total_bits`` overrides sizing."""
+        if total_bits is None:
+            total_bits = max(expected_keys, 1) * BLOOM_BITS_PER_KEY
+        per_bucket = max(
+            BLOOM_MIN_BUCKET_BITS, 1 << int(np.ceil(np.log2(max(1, total_bits // n_buckets))))
+        )
+        os.makedirs(cls._dir(root), exist_ok=True)
+        # fresh create invalidates any previous generation
+        for name in os.listdir(cls._dir(root)):
+            if name.startswith("bucket="):
+                os.remove(os.path.join(cls._dir(root), name))
+        bloom = cls(root, n_buckets, per_bucket, version=0, built_keys=0)
+        bloom._write_meta()
+        return bloom
+
+    @classmethod
+    def destroy(cls, root: str) -> None:
+        import shutil
+
+        if os.path.isdir(cls._dir(root)):
+            shutil.rmtree(cls._dir(root))
+
+    def _write_meta(self) -> None:
+        meta = {
+            "n_buckets": self.n_buckets,
+            "bucket_bits": self.bucket_bits,
+            "version": self.version,
+            "built_keys": self.built_keys,
+            "bits_per_key": BLOOM_BITS_PER_KEY,
+        }
+        tmp = self._meta_path(self.root) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._meta_path(self.root))
+
+    @property
+    def capacity_keys(self) -> int:
+        return (self.n_buckets * self.bucket_bits) // BLOOM_BITS_PER_KEY
+
+    # --- update ---------------------------------------------------
+    def update(self, delta: DataFrame, n_keys: Optional[int] = None) -> None:
+        """OR the delta's url_hash keys into the bucket bitmaps.
+
+        Distributed: each input partition emits one partial bitmap per
+        bucket it touches; the driver merges and rewrites one bucket
+        file at a time (peak memory = one bucket). For full rebuilds,
+        repartition the input by ``pmod(url_hash, n_buckets)`` first so
+        each partition maps to exactly one bucket.
+        """
+        nbits, nbytes = self.bucket_bits, self.bucket_bits // 8
+        n_buckets = self.n_buckets
+
+        def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            partials: dict = {}
+            total = 0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+                total += len(hashes)
+                buckets = _bucket_of(hashes, n_buckets)
+                for b in np.unique(buckets):
+                    bm = partials.get(b)
+                    if bm is None:
+                        bm = partials[b] = np.zeros(nbytes, dtype=np.uint8)
+                    _set_bits(bm, hashes[buckets == b], nbits)
+            for b, bm in partials.items():
+                yield pd.DataFrame(
+                    {"bucket": [int(b)], "n": [total], "bitmap": [bm.tobytes()]}
+                )
+                total = 0  # count keys once per partition, not per bucket
+
+        parts = (
+            delta.select("url_hash")
+            .mapInPandas(per_partition, "bucket int, n long, bitmap binary")
+            .collect()
+        )
+        merged_keys = sum(r["n"] for r in parts)
+        by_bucket: dict = {}
+        for row in parts:
+            by_bucket.setdefault(row["bucket"], []).append(row["bitmap"])
+        for b, blobs in by_bucket.items():
+            path = self._bucket_path(b)
+            if os.path.exists(path):
+                bm = np.fromfile(path, dtype=np.uint8).copy()
+            else:
+                bm = np.zeros(nbytes, dtype=np.uint8)
+            for blob in blobs:
+                bm |= np.frombuffer(blob, dtype=np.uint8)
+            tmp = path + ".tmp"
+            bm.tofile(tmp)
+            os.replace(tmp, path)
+        self.version += 1
+        self.built_keys += n_keys if n_keys is not None else merged_keys
+        self._write_meta()
+
+    # --- probe ----------------------------------------------------
+    def probe_udf(self):
+        """Vectorized predicate: url_hash -> maybe-seen (True = must
+        take the exact check; False = definitely not in the filter)."""
+        from pyspark.sql.functions import pandas_udf
+
+        root, n_buckets = self.root, self.n_buckets
+        nbits, nbytes = self.bucket_bits, self.bucket_bits // 8
+        version = self.version
+        bloom_dir = self._dir(root)
+
+        @pandas_udf("boolean")
+        def maybe_seen(url_hash: pd.Series) -> pd.Series:
+            cached = _BLOOM_CACHE.get(bloom_dir)
+            if cached is None or cached[0] != version:
+                cached = (version, {})
+                _BLOOM_CACHE[bloom_dir] = cached
+            bitmaps = cached[1]
+            hashes = url_hash.to_numpy(dtype=np.int64)
+            buckets = _bucket_of(hashes, n_buckets)
+            result = np.ones(len(hashes), dtype=bool)
+            for b in np.unique(buckets):
+                bm = bitmaps.get(b)
+                if bm is None:
+                    path = os.path.join(bloom_dir, f"bucket={b}.bin")
+                    if os.path.exists(path):
+                        bm = np.fromfile(path, dtype=np.uint8)
+                    else:
+                        bm = np.zeros(nbytes, dtype=np.uint8)
+                    bitmaps[b] = bm
+                sel = buckets == b
+                sub = hashes[sel]
+                hit = np.ones(len(sub), dtype=bool)
+                for pos in _bloom_positions(sub, nbits):
+                    hit &= (
+                        bm[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
+                    ) != 0
+                result[sel] = hit
+            return pd.Series(result)
+
+        return maybe_seen
 
 
 # --------------------------------------------------------------------
@@ -129,7 +361,7 @@ def politeness_select(
     frontier: DataFrame,
     host_budget: Optional[int],
     salt_buckets: int = 1,
-) -> Tuple[DataFrame, DataFrame]:
+) -> "tuple[DataFrame, DataFrame]":
     """Select up to ``host_budget`` URLs per host for this superstep in
     BFS order (depth, discovery_seq); the remainder stays queued.
 
@@ -186,7 +418,12 @@ def assign_ordered_seq(
     start: int,
     out_col: str = "discovery_seq",
     num_partitions: Optional[int] = None,
+    persist_registry: Optional[list] = None,
 ) -> DataFrame:
+    """``persist_registry`` (if given) collects the internal persisted
+    DataFrame so the caller can unpersist it once the numbered output
+    has been materialized — without it, the cached range-partitioned
+    blocks would live until session end (ADVICE r1)."""
     if num_partitions:
         parts = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
     else:
@@ -194,6 +431,8 @@ def assign_ordered_seq(
     # persist: the count job and the numbering job must see the SAME
     # physical partitioning (range-bound sampling is not re-run).
     parts = parts.sortWithinPartitions(*order_cols).persist()
+    if persist_registry is not None:
+        persist_registry.append(parts)
 
     counts = (
         parts.withColumn("_pid", F.spark_partition_id())

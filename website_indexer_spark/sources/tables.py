@@ -239,7 +239,7 @@ class CrawlStore:
 
     def clear(self) -> None:
         """Wipe all crawl state (fresh-run initialization)."""
-        for name in DELTA_TABLES + SNAPSHOT_TABLES + ("manifests",):
+        for name in DELTA_TABLES + SNAPSHOT_TABLES + ("manifests", "bloom"):
             tdir = os.path.join(self.root, name)
             if os.path.isdir(tdir):
                 shutil.rmtree(tdir)
