@@ -81,6 +81,9 @@ def test_lsh_topk_recall(spark, corpus_df, queries_df):
 
 
 def test_ivf_topk_recall(spark, corpus_df, queries_df):
+    """The k-means quantizer must put each planted cluster in its own
+    cell(s): ≥0.8 recall@5 on the 4-cluster corpus (VERDICT r1 #6
+    tightened this from 0.6 when the lowest-id quantizer went)."""
     k = 5
     got = sim.ivf_topk(corpus_df, queries_df, k, n_centroids=8, nprobe=4)
     by_query = {}
@@ -88,7 +91,21 @@ def test_ivf_topk_recall(spark, corpus_df, queries_df):
         by_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     oracle = _oracle_topk(k)
     hits = sum(len(by_query.get(q, set()) & set(oracle[q])) for q in range(N_QUERIES))
-    assert hits >= 0.6 * k * N_QUERIES
+    assert hits >= 0.8 * k * N_QUERIES
+
+
+def test_kmeans_centroids_follow_clusters(spark, corpus_df):
+    """Every planted cluster center must be near some centroid, and
+    the same seed must reproduce the same centroids (determinism)."""
+    c1 = sim.kmeans_centroids(corpus_df, 8, iters=3, seed=7)
+    c2 = sim.kmeans_centroids(corpus_df, 8, iters=3, seed=7)
+    assert np.allclose(c1, c2)
+
+    centers = VECS.reshape(-1, 4, DIM).mean(axis=0)  # true cluster means
+    cn = c1 / np.linalg.norm(c1, axis=1, keepdims=True)
+    for c in centers:
+        cos = cn @ (c / np.linalg.norm(c))
+        assert cos.max() > 0.95  # a centroid sits on this cluster
 
 
 def test_cosine_dup_pairs_exact(spark):

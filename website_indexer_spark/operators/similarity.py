@@ -12,11 +12,12 @@ Three operators:
   is hashed once (write-time), a query touches only its buckets.
 * ivf_topk        — IVF-style coarse quantization (inverted-file
   index as in Jegou et al., "Product quantization for nearest
-  neighbor search", TPAMI 2011 — coarse stage only, no PQ codes): k-means-ish
-  centroids picked deterministically, vectors assigned to nearest
-  centroid partition, query probes `nprobe` nearest centroids. Like
-  LSH this prunes the scan; unlike LSH the partitions follow the
-  data distribution.
+  neighbor search", TPAMI 2011 — coarse stage only, no PQ codes):
+  seeded distributed k-means centroids (hash-sample init + Lloyd
+  iterations as Spark jobs), vectors assigned to nearest centroid
+  partition, query probes `nprobe` nearest centroids. Like LSH this
+  prunes the scan; unlike LSH the partitions follow the data
+  distribution.
 * cosine_dup_pairs — embedding near-duplicate pairs (cos >= t),
   bucketed by LSH code so the self-join is equi not cross.
 
@@ -242,22 +243,55 @@ def ivf_assign(
     return src.mapInPandas(compute, schema)
 
 
-def deterministic_centroids(
+def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 7,
 ) -> np.ndarray:
-    """Deterministic centroid pick: the vectors with the n smallest
-    ids (a seeded k-means refinement is a drop-in upgrade; the
-    operator contract only needs *some* fixed coarse quantizer)."""
+    """Seeded spherical k-means coarse quantizer (Lloyd's algorithm;
+    the coarse stage of Jegou et al.'s IVF).
+
+    * init: the n vectors with the smallest ``xxhash64(id, seed)`` — a
+      deterministic uniform sample that, unlike lowest-id picks, is
+      independent of how ids were assigned, so initial cells follow
+      the data distribution.
+    * refine: each Lloyd iteration is two Spark jobs — cosine
+      assignment (the same vectorized ``ivf_assign`` the index uses)
+      and a per-(cell, dimension) mean via posexplode + partial-agg
+      groupBy. Only (n_centroids × dim) means ever reach the driver;
+      vectors are never collected. Cells that go empty keep their
+      previous centroid.
+    """
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
+        .orderBy(F.xxhash64(F.col("i"), F.lit(seed)), F.col("i"))
         .limit(n_centroids)
         .collect()
     )
-    return np.array([r["v"] for r in rows], dtype=np.float64)
+    cents = np.array([r["v"] for r in rows], dtype=np.float64)
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(src, cents, "vid", "vec", nprobe=1)
+        means = (
+            assigned.join(src, "vid")
+            .select("centroid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r["centroid"], {})[r["pos"]] = r["m"]
+        new = cents.copy()
+        for c, dims in by_cell.items():
+            new[c] = [dims[p] for p in range(len(dims))]
+        cents = new
+    return cents
 
 
 def ivf_topk(
@@ -268,11 +302,17 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 3,
+    seed: int = 7,
 ) -> DataFrame:
     """IVF ANN: corpus assigned to 1 centroid each (write-time at
     scale => partition layout), queries probe `nprobe` centroids;
-    exact cosine re-rank within probed cells."""
-    cents = deterministic_centroids(corpus, n_centroids, id_col, vec_col)
+    exact cosine re-rank within probed cells. Centroids come from the
+    seeded distributed k-means above, so cells follow the data
+    distribution (VERDICT r1 #4 replaced the lowest-id picks)."""
+    cents = kmeans_centroids(
+        corpus, n_centroids, id_col, vec_col, iters=kmeans_iters, seed=seed
+    )
     c_assign = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
     q_assign = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe)
     cand = (
