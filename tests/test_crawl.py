@@ -247,3 +247,76 @@ def test_spark_crawl_bloom_path(spark, tmp_path):
         spark, tmp_path, web, seed, use_bloom=True, bloom_bits=1 << 16
     )
     _assert_equivalent(result, result.store, oracle)
+
+
+@pytest.mark.slow
+def test_spark_crawl_dimension_tables(spark, tmp_path):
+    """A17 persistent form: the materialized dim_components/dim_links
+    tables must equal the distinct key sets derivable from the pages
+    table, and per-superstep deltas must be append-new-keys-only
+    (disjoint across supersteps — the MERGE contract)."""
+    web, seed = fixture_site()
+    result = _spark_crawl(spark, tmp_path, web, seed)
+    store = result.store
+
+    pages = store.read_all("pages").collect()
+    expect_components = {c for r in pages for c in (r["components"] or [])}
+    expect_links = {h for r in pages for h in (r["links"] or [])}
+    assert expect_components and expect_links  # fixture exercises both
+
+    dim_c = [r["class_name"] for r in store.read_all("dim_components").collect()]
+    dim_l = [r["href"] for r in store.read_all("dim_links").collect()]
+    assert set(dim_c) == expect_components
+    assert set(dim_l) == expect_links
+    # unique by construction: MERGE never re-appends an existing key
+    assert len(dim_c) == len(set(dim_c))
+    assert len(dim_l) == len(set(dim_l))
+
+    # deltas are disjoint across supersteps (unified dims layout:
+    # dims/superstep=K/kind=link)
+    import os
+
+    seen_keys = set()
+    for k in range(store.last_committed() + 1):
+        path = os.path.join(store.root, "dims", f"superstep={k}", "kind=link")
+        delta = (
+            {r["key"] for r in spark.read.parquet(path).collect()}
+            if os.path.isdir(path)
+            else set()
+        )
+        assert not (delta & seen_keys)
+        seen_keys |= delta
+        assert store.read_manifest(k)["counters"]["links_new"] == len(delta)
+
+    # C10 off the dimension == C10 re-derived from pages
+    from website_indexer_spark.plans.queries import (
+        component_list,
+        component_list_from_dim,
+    )
+
+    from_dim = [
+        r["class_name"]
+        for r in component_list_from_dim(store.read_all("dim_components")).collect()
+    ]
+    from_pages = [
+        r["class_name"] for r in component_list(store.read_all("pages")).collect()
+    ]
+    assert from_dim == from_pages
+
+
+def test_dim_upsert_delta_paths(spark):
+    """Broadcast and shuffle formulations of the MERGE delta agree."""
+    from website_indexer_spark.operators.dims import dim_upsert_delta
+
+    existing = spark.createDataFrame([(k,) for k in "abc"], "key string")
+    incoming = spark.createDataFrame(
+        [(k,) for k in ["b", "c", "d", "d", "e", None]], "key string"
+    )
+    for bcast in (True, False):
+        out = sorted(
+            r["key"]
+            for r in dim_upsert_delta(
+                existing, incoming, "key", broadcast_incoming=bcast
+            ).collect()
+        )
+        assert out == ["d", "e"]

@@ -78,6 +78,7 @@ from website_indexer_spark.operators.frontier import (
     assign_ordered_seq,
     politeness_select,
 )
+from website_indexer_spark.operators.dims import dim_upsert_delta
 from website_indexer_spark.operators.policy import (
     CrawlPolicy,
     accept_url_filter,
@@ -162,6 +163,7 @@ def run_crawl(
     max_supersteps: int = 1000,
     verbose: bool = False,
     cache_lookup: bool = True,
+    maintain_dims: bool = True,
 ) -> CrawlResult:
     policy = policy or CrawlPolicy(start_url=seed_url, max_pages=max_pages, depth=depth_cap)
     start_host = hostname_with_port(seed_url)
@@ -522,6 +524,29 @@ def run_crawl(
             t = _mark("plan-build", t)
             store.write_delta("routed", routed_delta, k, partition_by=["record_type"])
             t = _mark("write-routed", t)
+            # --- dimension upsert (A17 persistent form) ---------------
+            # Reference writer.py:22-43 bulk_create(ignore_conflicts):
+            # append only the wave's NEW component classes / link hrefs.
+            # The full dimension streams map-side against the broadcast
+            # wave keys (dims.py) — never shuffled, never rewritten.
+            if maintain_dims:
+                page_rows = extracted.filter(is_page)
+                incoming = page_rows.select(
+                    F.lit("component").alias("kind"),
+                    F.explode("ex.components").alias("key"),
+                ).unionByName(
+                    page_rows.select(
+                        F.lit("link").alias("kind"),
+                        F.explode("ex.links").alias("key"),
+                    )
+                )
+                dims_delta = dim_upsert_delta(
+                    store.read_all("dims"), incoming, ["kind", "key"]
+                )
+                store.write_delta(
+                    "dims", dims_delta.coalesce(1), k, partition_by=["kind"]
+                )
+                t = _mark("write-dims", t)
             # seen deltas are narrow (hash+url): single file keeps the
             # table's file count equal to the superstep count
             store.write_delta("seen", seen_delta.coalesce(1), k)
@@ -537,6 +562,9 @@ def run_crawl(
             n_errors = counts.get("error", 0)
             n_redirects = counts.get("redirect", 0)
             n_enqueued = sum(store.footer_counts("frontier", k).values())
+            dim_counts = (
+                store.footer_counts("dims", k) if maintain_dims else {}
+            )
             t = _mark("count-footers", t)
             # dense numbering: the delta occupies [seq_base, seq_base+n)
             if deferred is None:
@@ -563,6 +591,8 @@ def run_crawl(
                     "enqueued": n_enqueued,
                     "seq_base": seq_base,
                     "frontier_in": frontier_count,
+                    "components_new": dim_counts.get("component", 0),
+                    "links_new": dim_counts.get("link", 0),
                 },
             )
 

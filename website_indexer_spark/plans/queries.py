@@ -194,12 +194,22 @@ def page_detail(pages: DataFrame, url: str) -> DataFrame:
 
 
 def component_list(pages: DataFrame) -> DataFrame:
-    """All component class names, ordered (models.py:88)."""
+    """All component class names, ordered (models.py:88) — derived by
+    re-exploding the pages table (valid, but rescans every page)."""
     return (
         pages.select(F.explode("components").alias("class_name"))
         .distinct()
         .orderBy("class_name")
     )
+
+
+def component_list_from_dim(dim_components: DataFrame) -> DataFrame:
+    """C10 off the materialized dimension (CrawlStore
+    ``dim_components``, maintained per-superstep by the MERGE upsert in
+    operators/dims.py — reference models.py:84-88's unique Component
+    table). Keys are unique by construction, so this is a pure
+    scan+sort: no explode, no distinct, no pages rescan."""
+    return dim_components.select("class_name").orderBy("class_name")
 
 
 # --------------------------------------------------------------------

@@ -134,7 +134,30 @@ _ROUTED_VIEWS = {
     "redirects": ("redirect", REDIRECTS_SCHEMA),
 }
 
-DELTA_TABLES = ("routed", "seen")
+# Materialized dimension tables (reference writer.py:22-43's global
+# unique Component/Link rows): append-new-keys-only deltas per
+# superstep — the MERGE upsert pattern (operators/dims.py). Both
+# dimensions share ONE physical table keyed (kind, key) so each
+# superstep pays a single upsert job; readers get per-kind views
+# (kind is a partition column, so the views partition-prune).
+DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),  # component|link
+        T.StructField("key", T.StringType(), False),
+    ]
+)
+
+_DIM_VIEWS = {
+    "dim_components": ("component", "class_name"),
+    "dim_links": ("link", "href"),
+}
+
+_DELTA_SCHEMAS = {
+    "seen": SEEN_SCHEMA,
+    "dims": DIMS_SCHEMA,
+}
+
+DELTA_TABLES = ("routed", "seen", "dims")
 SNAPSHOT_TABLES = ("frontier",)
 
 
@@ -284,7 +307,13 @@ class CrawlStore:
             return routed.filter(F.col("record_type") == rtype).select(
                 *[f.name for f in schema.fields]
             )
-        return self._read(name, SEEN_SCHEMA)
+        if name in _DIM_VIEWS:
+            kind, out_col = _DIM_VIEWS[name]
+            dims = self._read("dims", DIMS_SCHEMA)
+            return dims.filter(F.col("kind") == kind).select(
+                F.col("key").alias(out_col)
+            )
+        return self._read(name, _DELTA_SCHEMAS[name])
 
     def read_frontier(self, superstep: int) -> DataFrame:
         path = os.path.join(self.root, "frontier", f"superstep={superstep}")
