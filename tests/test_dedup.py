@@ -127,3 +127,31 @@ def test_simhash_pairs_match_bruteforce(spark, corpus_df):
     # banding guarantees completeness when max_hamming < blocks
     assert got == expect
     assert (0, 1, 0) in got  # exact dup => distance 0
+
+
+def test_minhash_lsh_precision_and_recall(spark):
+    """The driver gate for dedup_minhash_lsh is rows-only (its recall
+    vs exact all-pairs jaccard is 1-(1-j^r)^b < 1, so an exact-SQL
+    oracle would be a luck-based gate — ADVICE r1). The operator's
+    contract is pinned here instead: precision 1.0 (every reported
+    pair really has capped-free jaccard >= t, guaranteed by the
+    exact-verify stage) and recall near the S-curve bound on the
+    driver's own testdata."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.7
+        ).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=2, bands=16, rows_per_band=4, threshold=0.7
+        ).collect()
+    }
+    assert lsh <= exact  # precision 1.0
+    if exact:
+        # at j=0.7 the per-pair capture probability is
+        # 1-(1-0.7^4)^16 ≈ 0.99; demand >= 0.9 overall
+        assert len(lsh) >= 0.9 * len(exact)

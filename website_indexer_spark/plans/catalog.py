@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from website_indexer_spark.functions import textstats as ts
 from website_indexer_spark.operators import dedup, similarity
+from website_indexer_spark.operators.dims import dim_upsert_delta
 from website_indexer_spark.plans import queries as vq
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -303,8 +304,18 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_jaccard(spark, sf):
+    # max_shingle_df default-ON (VERDICT r1 #7): the stop-shingle cap
+    # that keeps the inverted index from quadratic blowup at corpus
+    # scale is part of the gated semantics — jaccard is computed over
+    # the capped shingle sets (an approximation of raw jaccard, exact
+    # for the capped definition; the oracle applies the same cap).
     return dedup.jaccard_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text", n=2, threshold=0.4
+        _t(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        n=2,
+        threshold=0.4,
+        max_shingle_df=25,
     ).select("doc_a", "doc_b", "jaccard")
 
 
@@ -330,6 +341,21 @@ def q_fingerprint_overlap(spark, sf):  # no SQL mirror (winnowing)
     return ts.fingerprint_overlap_pairs(
         _t(spark, sf, "documents"), "doc_id", min_common=8
     )
+
+
+def q_dimension_upsert(spark, sf):
+    """MERGE-style dimension upsert (A17 persistent form): the delta a
+    trigram-key dimension built from the even docs would append when
+    the odd docs arrive. Mirrors the crawl store's dim_components/
+    dim_links maintenance (operators/dims.py)."""
+    sh = dedup.shingles(_t(spark, sf, "documents"), "doc_id", "text", n=3)
+    existing = sh.filter(F.col("doc") % 2 == 0).select(
+        F.col("shingle").alias("token")
+    )
+    incoming = sh.filter(F.col("doc") % 2 == 1).select(
+        F.col("shingle").alias("token")
+    )
+    return dim_upsert_delta(existing, incoming, "token")
 
 
 def q_lang_id(spark, sf):
@@ -417,6 +443,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "fingerprint_overlap": q_fingerprint_overlap,
+    "dimension_upsert": q_dimension_upsert,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "token_counts": q_token_counts,
@@ -436,13 +463,17 @@ _JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
   FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, len(t) - 1),
                                  i -> t[i] || ' ' || t[i + 1])) AS shingle
     FROM toks WHERE len(t) >= 2
   )
+), keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {max_df}
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), pairs AS (
@@ -660,10 +691,27 @@ ORACLE_SQL: Dict[str, str] = {
                count(*) AS n_copies
         FROM documents GROUP BY md5(text)
     """,
-    "dedup_jaccard": _JACCARD_SQL.format(threshold=0.4),
-    "dedup_minhash_lsh": (
-        "SELECT doc_a, doc_b FROM (" + _JACCARD_SQL.format(threshold=0.7) + ")"
-    ),
+    "dedup_jaccard": _JACCARD_SQL.format(threshold=0.4, max_df=25),
+    # dedup_minhash_lsh deliberately has NO oracle (ADVICE r1): its
+    # exact-Jaccard-over-LSH-candidates output has recall
+    # 1-(1-j^r)^b < 1 against the all-pairs SQL, so hash equality
+    # against an exact-jaccard oracle only held by luck of the fixed
+    # testdata. Precision/recall bounds are pinned in
+    # tests/test_dedup.py::test_minhash_lsh_precision_and_recall.
+    "dimension_upsert": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ), tri AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS token
+          FROM toks WHERE len(t) >= 3
+        )
+        SELECT DISTINCT token FROM tri WHERE doc_id % 2 = 1
+          AND token NOT IN (SELECT token FROM tri WHERE doc_id % 2 = 0)
+    """,
     "lang_id": _lang_id_sql(),
     "quality": _quality_sql(),
     "token_counts": r"""
