@@ -30,6 +30,7 @@ Semantics reproduced (citations into /root/reference/crawler/parser.py):
 from __future__ import annotations
 
 import re
+import time
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 from typing import List, Optional
@@ -205,18 +206,45 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
-def parse_html_tree(html: str) -> Optional[Element]:
+# Reference parity: the reference kills any parse after 5 s with a
+# signal-based timeout and drops the page (parser.py:46-58). Signals
+# don't work off the main thread / in executor workers, so the budget
+# is enforced cooperatively: the document is fed to the parser in
+# chunks with a monotonic-deadline check at each boundary (and before
+# each downstream pass over the tree).
+PARSE_BUDGET_S = 5.0
+_FEED_CHUNK_CHARS = 1 << 14
+
+
+class ParseTimeout(Exception):
+    """Raised when a single document exceeds its parse-time budget."""
+
+
+def _check_deadline(deadline: Optional[float]) -> None:
+    if deadline is not None and time.monotonic() > deadline:
+        raise ParseTimeout()
+
+
+def parse_html_tree(
+    html: str, deadline: Optional[float] = None
+) -> Optional[Element]:
     """Parse an HTML document, returning its root element.
 
     Mirrors lxml.html.fromstring for full documents: the <html>
     element is the root; fragments get wrapped so ``find('./body')``
     style lookups still behave.  Returns None for empty input (the
     reference's soupparser fallback path raises/returns empty too).
+    ``deadline`` (time.monotonic() value) bounds a pathological
+    page's parse time; ParseTimeout propagates to the caller.
     """
     builder = _TreeBuilder()
     try:
-        builder.feed(html)
+        for i in range(0, max(1, len(html)), _FEED_CHUNK_CHARS):
+            builder.feed(html[i : i + _FEED_CHUNK_CHARS])
+            _check_deadline(deadline)
         builder.close()
+    except ParseTimeout:
+        raise
     except Exception:
         # Lenient fallback: best effort with whatever was built —
         # mirrors the reference's soupparser fallback (parser.py:125-130).
@@ -335,13 +363,24 @@ class ExtractedPage:
     components: List[str] = field(default_factory=list)
 
 
-def extract_page_fields(html: str, internal_link_host: str) -> Optional[ExtractedPage]:
+def extract_page_fields(
+    html: str,
+    internal_link_host: str,
+    time_budget_s: Optional[float] = PARSE_BUDGET_S,
+) -> Optional[ExtractedPage]:
     """The full extraction kernel (reference _parse_html, parser.py:68-121).
 
     Returns None when the page has no <title> — the reference drops
-    such pages entirely (parser.py:75-76, models.py:125-126).
+    such pages entirely (parser.py:75-76, models.py:125-126). A page
+    exceeding ``time_budget_s`` raises ParseTimeout (the reference's
+    5 s parse kill, parser.py:46-58); the extract UDF catches it and
+    drops the page, so one pathological document can never stall an
+    executor task. ``time_budget_s=None`` disables the guard.
     """
-    root = parse_html_tree(html)
+    deadline = (
+        time.monotonic() + time_budget_s if time_budget_s is not None else None
+    )
+    root = parse_html_tree(html, deadline)
     if root is None:
         return None
 
@@ -357,12 +396,14 @@ def extract_page_fields(html: str, internal_link_host: str) -> Optional[Extracte
     if title is None:
         return None
 
+    _check_deadline(deadline)
     body = get_cleaned_body(root)
 
     if body is not None:
         text = HTML_WHITESPACE.sub(" ", body.text_content()).strip()
     else:
         text = None
+    _check_deadline(deadline)
 
     page = ExtractedPage(title=title, language=language, text=text)
     if body is None:
@@ -392,6 +433,7 @@ def extract_page_fields(html: str, internal_link_host: str) -> Optional[Extracte
 
     page.links = sorted(hrefs)
 
+    _check_deadline(deadline)
     body_html = serialize(body)
     page.components = sorted(set(HTML_COMPONENT_SEARCH.findall(body_html)))
     return page

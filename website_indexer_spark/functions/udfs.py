@@ -66,7 +66,11 @@ def extract_udf(html: pd.Series, start_host: pd.Series) -> pd.DataFrame:
                     page = extract_page_fields(decoded, host or "")
                 except Exception:
                     page = None  # parse-guard, mirrors the reference's
-                    # tolerate-and-drop behavior for unparseable pages
+                    # tolerate-and-drop behavior for unparseable pages;
+                    # also catches ParseTimeout — the kernel's 5 s
+                    # per-document budget (extract.PARSE_BUDGET_S,
+                    # reference parser.py:46-58) — so one pathological
+                    # page can never stall the Arrow batch's task
         if page is None:
             titles.append(None)
             languages.append(None)
