@@ -190,3 +190,33 @@ def test_delete_crawl(spark, pages):
     out = Q.delete_crawl({"pages": pages}, 1)["pages"]
     assert out.filter(F.col("crawl_id") == 1).count() == 0
     assert out.count() == 3
+
+
+def test_export_csv_distributed_parity(spark, scoped, tmp_path):
+    """The distributed export must be byte-identical to the
+    driver-side render across the rendering corner cases: embedded
+    commas/quotes/newlines, unicode, empty vs NULL strings,
+    timestamps with and without microseconds, booleans, NULLs."""
+    from datetime import datetime
+
+    nasty = spark.createDataFrame(
+        [
+            (datetime(2026, 2, 1, 10, 0, 1), "plain", "simple", True),
+            (datetime(2026, 2, 1, 10, 0, 1, 123456), 'has "quotes"', "a,b", False),
+            (datetime(2026, 2, 1, 10, 0, 1, 1), "line\nbreak", "", None),
+            (None, None, "ünïcode — em", True),
+        ],
+        "timestamp timestamp, title string, note string, flag boolean",
+    ).orderBy("title")
+    cols = ["timestamp", "title", "note", "flag"]
+    expected = Q.render_csv(nasty, cols)
+    out = Q.export_csv_distributed(nasty, cols, str(tmp_path / "nasty.csv"))
+    assert open(out, "rb").read() == expected
+
+    # and on the viewer pages projection (the C14 attachment shape)
+    ordered = Q.search_empty(scoped)
+    expected = Q.render_csv(ordered, Q.CSV_HEADERS["pages"])
+    out = Q.export_csv_distributed(
+        ordered, Q.CSV_HEADERS["pages"], str(tmp_path / "pages.csv")
+    )
+    assert open(out, "rb").read() == expected

@@ -26,6 +26,7 @@ from urllib.parse import quote_plus
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Reference viewer/serializers.py:19-26 — suffixes stripped at render.
 TITLE_SUFFIXES = (
@@ -288,6 +289,92 @@ def render_csv(df: DataFrame, columns) -> bytes:
     is disabled in CSV mode, like BetterCSVsMixin."""
     pdf = df.select(*columns).toPandas()
     return pdf.to_csv(index=False).encode("utf-8-sig")
+
+
+def _csv_cell(col, dtype, ts_with_fraction: bool = False):
+    """Render one column to its pandas-``to_csv`` string form with
+    native expressions, so the distributed export is byte-identical
+    to the driver-side render: timestamps as
+    'YYYY-MM-DD HH:MM:SS[.ffffff]' (pandas formats a datetime column
+    uniformly — the fraction appears on every row iff any row has a
+    non-zero sub-second part, hence the column-level
+    ``ts_with_fraction`` flag), booleans as True/False, NULL empty."""
+    if isinstance(dtype, T.TimestampType):
+        base = F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        if not ts_with_fraction:
+            return base
+        micros = F.unix_micros(col) % F.lit(1_000_000)
+        return F.concat(
+            base, F.lit("."), F.lpad(micros.cast("string"), 6, "0")
+        )
+    if isinstance(dtype, T.BooleanType):
+        return F.when(col, "True").when(~col, "False")
+    return col.cast("string")
+
+
+def export_csv_distributed(df: DataFrame, columns, out_path: str) -> str:
+    """C14 at export scale: the unpaginated CSV attachment written by
+    the cluster instead of `toPandas()` on the driver (VERDICT r1 #9
+    — the driver-side render matches the reference but cannot hold a
+    100×-scale export).
+
+    Each task streams its partition straight to a data-only CSV part
+    file (`df.write.csv` — no driver materialization, no pandas);
+    the driver then concatenates the ordered part files behind one
+    BOM + header into the final attachment, a pure sequential I/O
+    pass over bytes that never parses a row. An ordered input is
+    range-partitioned by its sort, so part-file name order IS row
+    order. Output bytes are identical to ``render_csv``: cells are
+    pre-rendered to pandas' string forms (timestamps, booleans,
+    NULLs) natively, and the writer is configured for
+    QUOTE_MINIMAL/double-quote escaping/unquoted empties to match
+    ``DataFrame.to_csv``. Returns the final file path.
+    """
+    import csv as _csv
+    import io
+    import os
+    import shutil
+
+    dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    ts_cols = [c for c in columns if isinstance(dtypes[c], T.TimestampType)]
+    frac = {}
+    if ts_cols:
+        # one tiny column-pruned aggregate decides each timestamp
+        # column's uniform format (pandas column-level .%f semantics)
+        row = df.agg(
+            *[
+                F.max((F.unix_micros(F.col(c)) % 1_000_000) != 0).alias(c)
+                for c in ts_cols
+            ]
+        ).first()
+        frac = {c: bool(row[c]) for c in ts_cols}
+    cells = df.select(
+        *[
+            _csv_cell(F.col(c), dtypes[c], frac.get(c, False)).alias(c)
+            for c in columns
+        ]
+    )
+    parts_dir = out_path + ".parts"
+    (
+        cells.write.mode("overwrite")
+        # pandas-parity dialect: double-quote escaping, quote only
+        # when needed, empty string written unquoted (= NULL's form)
+        .option("escape", '"')
+        .option("emptyValue", "")
+        .option("header", "false")
+        .csv(parts_dir)
+    )
+    buf = io.StringIO()
+    _csv.writer(buf, lineterminator="\n").writerow(columns)
+    with open(out_path, "wb") as out:
+        out.write(b"\xef\xbb\xbf")  # UTF-8 BOM (views.py:44-62 parity)
+        out.write(buf.getvalue().encode("utf-8"))
+        for name in sorted(os.listdir(parts_dir)):
+            if name.startswith("part-"):
+                with open(os.path.join(parts_dir, name), "rb") as part:
+                    shutil.copyfileobj(part, out)
+    shutil.rmtree(parts_dir)
+    return out_path
 
 
 def csv_filename(pages: DataFrame, prefix: str = "pages") -> str:
