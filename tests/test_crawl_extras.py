@@ -177,3 +177,30 @@ def test_large_scale_paths_forced(spark, tmp_path, monkeypatch):
     }
     for url, expected in oracle.pages.items():
         assert depths[url] == expected["depth"], url
+
+
+def test_table_backend_seam(spark, tmp_path):
+    """CrawlStore runs unchanged through an explicitly-passed
+    ParquetManifestBackend; IcebergBackend is an honest stub that
+    raises with configuration guidance."""
+    import pytest as _pytest
+
+    from website_indexer_spark.sources.tables import (
+        CrawlStore,
+        IcebergBackend,
+        ParquetManifestBackend,
+    )
+
+    root = str(tmp_path / "seam")
+    backend = ParquetManifestBackend(spark, root)
+    store = CrawlStore(spark, root, backend=backend)
+    df = spark.createDataFrame([(1, "u")], "url_hash long, url string")
+    store.write_delta("seen", df, 0)
+    assert store.read_all("seen").count() == 0  # not committed yet
+    store.commit(0, {"requested": 1})
+    assert store.read_all("seen").count() == 1
+    assert store.last_committed() == 0
+    assert store.read_manifest(0)["counters"]["requested"] == 1
+
+    with _pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        IcebergBackend(spark)

@@ -189,8 +189,84 @@ def build_spark(
     return builder.getOrCreate()
 
 
-class CrawlStore:
-    """Superstep-versioned table store with atomic manifest commits."""
+class TableBackend:
+    """The physical table layer behind CrawlStore: how superstep
+    deltas are written, committed atomically, and scanned back. This
+    is exactly the seam where a real lakehouse format drops in — the
+    parquet-manifest implementation below emulates Iceberg snapshot
+    semantics on bare files; ``IcebergBackend`` maps the same calls
+    onto genuine Iceberg operations (needs the runtime jars, absent
+    in this sandbox — see its docstring)."""
+
+    def write_delta(
+        self, name: str, df: DataFrame, superstep: int, partition_by=None
+    ) -> None:
+        raise NotImplementedError
+
+    def read_table(self, name: str, schema: T.StructType) -> DataFrame:
+        """All committed rows of a logical table."""
+        raise NotImplementedError
+
+    def read_snapshot(
+        self, name: str, superstep: int, schema: T.StructType
+    ) -> DataFrame:
+        """One superstep's full snapshot of a SNAPSHOT_TABLES table."""
+        raise NotImplementedError
+
+    def footer_counts(self, name: str, superstep: int) -> Dict[str, int]:
+        raise NotImplementedError
+
+    def commit(self, superstep: int, counters: dict) -> None:
+        raise NotImplementedError
+
+    def last_committed(self) -> int:
+        raise NotImplementedError
+
+    def read_manifest(self, superstep: int) -> dict:
+        raise NotImplementedError
+
+    def rollback_uncommitted(self) -> None:
+        raise NotImplementedError
+
+    def clear(self) -> None:
+        raise NotImplementedError
+
+
+class IcebergBackend(TableBackend):
+    """Honest stub for running CrawlStore on real Apache Iceberg
+    tables. Untestable here — the sandbox has no Iceberg runtime jars
+    — so every call raises with the wiring a deployment needs:
+
+    * session conf:
+        spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+        spark.sql.catalog.crawl=org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.crawl.type=hadoop   (or hive/rest)
+        spark.sql.catalog.crawl.warehouse=<shared-storage-root>
+    * write_delta  -> df.writeTo(f"crawl.{name}").append() with the
+      superstep as a partition column (days/bucket transforms on
+      url_hash for the seen table)
+    * commit       -> the append's snapshot commit IS the marker;
+      counters land in snapshot summary properties
+    * last_committed/rollback -> snapshot metadata + rollback_to
+    * the dims MERGE delta (operators/dims.py) -> MERGE INTO
+      crawl.dims USING delta ON kind,key WHEN NOT MATCHED THEN INSERT
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str = "crawl"):
+        raise NotImplementedError(
+            "IcebergBackend needs the Iceberg runtime jars "
+            "(spark.jars.packages=org.apache.iceberg:iceberg-spark-"
+            "runtime-...) and a configured spark.sql.catalog.<name>; "
+            "neither is available in this environment. Use the default "
+            "ParquetManifestBackend, which emulates the same snapshot-"
+            "commit semantics on bare parquet."
+        )
+
+
+class ParquetManifestBackend(TableBackend):
+    """Superstep-partitioned parquet + JSON manifest commit markers
+    (the module docstring's layout). The only working backend in this
+    sandbox; semantics mirror Iceberg snapshots."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -214,9 +290,6 @@ class CrawlStore:
     def read_manifest(self, superstep: int) -> dict:
         with open(self._manifest_path(superstep)) as f:
             return json.load(f)
-
-    def manifests(self) -> List[dict]:
-        return [self.read_manifest(k) for k in range(self.last_committed() + 1)]
 
     # --- writes ---------------------------------------------------
     def write_delta(
@@ -261,15 +334,12 @@ class CrawlStore:
         os.replace(tmp, self._manifest_path(superstep))
 
     def clear(self) -> None:
-        """Wipe all crawl state (fresh-run initialization)."""
-        for name in DELTA_TABLES + SNAPSHOT_TABLES + ("manifests", "bloom"):
+        """Wipe all table + manifest state (fresh-run init)."""
+        for name in DELTA_TABLES + SNAPSHOT_TABLES + ("manifests",):
             tdir = os.path.join(self.root, name)
             if os.path.isdir(tdir):
                 shutil.rmtree(tdir)
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
-        crawl_json = os.path.join(self.root, "crawl.json")
-        if os.path.exists(crawl_json):
-            os.remove(crawl_json)
 
     def rollback_uncommitted(self) -> None:
         """Drop superstep dirs newer than the last committed manifest."""
@@ -285,7 +355,7 @@ class CrawlStore:
                         shutil.rmtree(os.path.join(tdir, entry))
 
     # --- reads ----------------------------------------------------
-    def _read(self, name: str, schema: T.StructType) -> DataFrame:
+    def read_table(self, name: str, schema: T.StructType) -> DataFrame:
         tdir = os.path.join(self.root, name)
         if not os.path.isdir(tdir) or not any(
             e.startswith("superstep=") for e in os.listdir(tdir)
@@ -297,27 +367,92 @@ class CrawlStore:
         # only committed supersteps are visible (partition-pruned scan)
         return df.filter(F.col("superstep") <= self.last_committed()).drop("superstep")
 
+    def read_snapshot(
+        self, name: str, superstep: int, schema: T.StructType
+    ) -> DataFrame:
+        path = os.path.join(self.root, name, f"superstep={superstep}")
+        return self.spark.read.schema(schema).parquet(path)
+
+
+class CrawlStore:
+    """Superstep-versioned table store with atomic manifest commits.
+    All physical I/O goes through a ``TableBackend`` (default: the
+    parquet-manifest emulation; an Iceberg deployment swaps the
+    backend, not this class). The crawl-record JSON and the logical
+    views (pages/errors/redirects out of routed; dim_components/
+    dim_links out of dims) live here, above the backend."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        backend: Optional[TableBackend] = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.backend = backend or ParquetManifestBackend(spark, root)
+
+    # --- backend pass-throughs ------------------------------------
+    def write_delta(
+        self, name: str, df: DataFrame, superstep: int, partition_by=None
+    ) -> None:
+        self.backend.write_delta(name, df, superstep, partition_by)
+
+    def footer_counts(self, name: str, superstep: int) -> Dict[str, int]:
+        return self.backend.footer_counts(name, superstep)
+
+    def commit(self, superstep: int, counters: dict) -> None:
+        self.backend.commit(superstep, counters)
+
+    def last_committed(self) -> int:
+        return self.backend.last_committed()
+
+    def read_manifest(self, superstep: int) -> dict:
+        return self.backend.read_manifest(superstep)
+
+    def manifests(self) -> List[dict]:
+        return [self.read_manifest(k) for k in range(self.last_committed() + 1)]
+
+    def rollback_uncommitted(self) -> None:
+        self.backend.rollback_uncommitted()
+
+    def _manifest_path(self, superstep: int) -> str:
+        # exposed for crash-simulation tests (delete the marker)
+        return self.backend._manifest_path(superstep)
+
+    def clear(self) -> None:
+        """Wipe all crawl state (fresh-run initialization): tables +
+        manifests (backend), Bloom stripes, and the crawl record."""
+        self.backend.clear()
+        bloom_dir = os.path.join(self.root, "bloom")
+        if os.path.isdir(bloom_dir):
+            shutil.rmtree(bloom_dir)
+        crawl_json = os.path.join(self.root, "crawl.json")
+        if os.path.exists(crawl_json):
+            os.remove(crawl_json)
+
+    # --- logical views --------------------------------------------
     def read_all(self, name: str) -> DataFrame:
         """Read a logical table across all committed supersteps. The
         pages/errors/redirects views project out of the unified routed
-        table (record_type partition column prunes the scan)."""
+        table (record_type partition column prunes the scan); the
+        dim_components/dim_links views out of the dims table."""
         if name in _ROUTED_VIEWS:
             rtype, schema = _ROUTED_VIEWS[name]
-            routed = self._read("routed", ROUTED_SCHEMA)
+            routed = self.backend.read_table("routed", ROUTED_SCHEMA)
             return routed.filter(F.col("record_type") == rtype).select(
                 *[f.name for f in schema.fields]
             )
         if name in _DIM_VIEWS:
             kind, out_col = _DIM_VIEWS[name]
-            dims = self._read("dims", DIMS_SCHEMA)
+            dims = self.backend.read_table("dims", DIMS_SCHEMA)
             return dims.filter(F.col("kind") == kind).select(
                 F.col("key").alias(out_col)
             )
-        return self._read(name, _DELTA_SCHEMAS[name])
+        return self.backend.read_table(name, _DELTA_SCHEMAS[name])
 
     def read_frontier(self, superstep: int) -> DataFrame:
-        path = os.path.join(self.root, "frontier", f"superstep={superstep}")
-        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(path)
+        return self.backend.read_snapshot("frontier", superstep, FRONTIER_SCHEMA)
 
     # --- crawl record (models.py:19-52 analogue) -------------------
     def write_crawl_record(self, record: dict) -> None:
