@@ -66,49 +66,86 @@ def test_real_fetch_per_host_pacing(spark):
     assert len(out) == 2
 
 
-def test_urllib_fetch_request_shape(monkeypatch):
-    """urllib_fetch must send the reference UA and the method, and
-    map exceptions to status 0."""
-    captured = {}
+@pytest.fixture(scope="module")
+def local_server():
+    """Loopback HTTP server exercising every urllib_fetch branch,
+    including a response slower than the connect timeout (but inside
+    the read timeout)."""
+    import http.server
+    import threading
+    import time as _time
 
-    class _Headers:
-        @staticmethod
-        def get(k, default=None):
-            return {"Content-Type": "text/html; charset=utf-8"}.get(k, default)
+    seen = {}
 
-    class FakeResp:
-        status = 200
-        headers = _Headers()
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _respond(self, body=True):
+            seen["ua"] = self.headers.get("User-Agent")
+            if self.path == "/slow/":
+                # slower than the (patched) connect timeout: only the
+                # two-phase read timeout keeps this alive
+                _time.sleep(1.2)
+            if self.path == "/missing/":
+                self.send_response(404)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                return
+            if self.path == "/redir/":
+                self.send_response(301)
+                self.send_header("Location", "/landed/")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            content = b"<html>ok</html>"
+            self.send_header("Content-Length", str(len(content)))
+            self.end_headers()
+            if body:
+                self.wfile.write(content)
 
-        def read(self):
-            return b"body"
+        def do_GET(self):
+            self._respond(body=True)
 
-        def __enter__(self):
-            return self
+        def do_HEAD(self):
+            self._respond(body=False)
 
-        def __exit__(self, *a):
-            return False
+        def log_message(self, *a):
+            pass
 
-    class FakeOpener:
-        def open(self, req, timeout=None):
-            captured["ua"] = req.get_header("User-agent")
-            captured["method"] = req.get_method()
-            captured["timeout"] = timeout
-            return FakeResp()
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", seen
+    srv.shutdown()
 
-    import urllib.request
 
-    monkeypatch.setattr(
-        urllib.request, "build_opener", lambda *handlers: FakeOpener()
-    )
-    status, loc, ctype, body = Fx.urllib_fetch("https://x.test/", "GET")
-    assert status == 200 and body == b"body" and ctype == "text/html"
-    assert captured["ua"] == Fx.USER_AGENT
-    assert captured["method"] == "GET"
-    assert captured["timeout"] == Fx.CONNECT_TIMEOUT_S
+def test_urllib_fetch_against_local_server(local_server, monkeypatch):
+    base, seen = local_server
 
-    def boom(*a, **k):
-        raise OSError("no network")
+    status, loc, ctype, body = Fx.urllib_fetch(f"{base}/", "GET")
+    assert (status, ctype, body) == (200, "text/html", b"<html>ok</html>")
+    assert seen["ua"] == Fx.USER_AGENT
 
-    monkeypatch.setattr(urllib.request, "build_opener", boom)
-    assert Fx.urllib_fetch("https://x.test/", "GET")[0] == 0
+    assert Fx.urllib_fetch(f"{base}/", "HEAD")[3] == b""  # no body, not NULL
+
+    status, loc, _, body = Fx.urllib_fetch(f"{base}/redir/", "GET")
+    assert (status, loc, body) == (301, "/landed/", None)  # NOT followed
+
+    assert Fx.urllib_fetch(f"{base}/missing/", "GET")[0] == 404
+
+    # connection refused => network error 0
+    assert Fx.urllib_fetch("http://127.0.0.1:9/", "GET")[0] == 0
+
+
+def test_urllib_fetch_two_phase_timeout(local_server, monkeypatch):
+    """A server that answers slower than the connect timeout but
+    inside the read timeout must NOT be misclassified as a network
+    error (ADVICE r1: the old code applied the 5 s connect timeout to
+    the whole exchange)."""
+    base, _ = local_server
+    monkeypatch.setattr(Fx, "CONNECT_TIMEOUT_S", 0.4)
+    monkeypatch.setattr(Fx, "READ_TIMEOUT_S", 10.0)
+    status, _, _, body = Fx.urllib_fetch(f"{base}/slow/", "GET")
+    assert status == 200 and body == b"<html>ok</html>"
+
+    # and a server slower than the READ timeout is a network error
+    monkeypatch.setattr(Fx, "READ_TIMEOUT_S", 0.3)
+    assert Fx.urllib_fetch(f"{base}/slow/", "GET")[0] == 0

@@ -60,49 +60,58 @@ FETCHED_SCHEMA = T.StructType(
 
 def urllib_fetch(url: str, method: str) -> FetchResult:
     """Stdlib HTTP client with the reference's UA/timeouts/TLS-off.
-    Redirects are NOT followed (the crawl loop routes 3xx itself)."""
+    Redirects are NOT followed (the crawl loop routes 3xx itself).
+
+    Two-phase timeouts, true to wpull's --timeout split
+    (crawler.py:38-41): the TCP/TLS connect is bounded by
+    CONNECT_TIMEOUT_S, then the socket is re-armed with READ_TIMEOUT_S
+    for the response phase — a slow-but-alive server gets the full
+    30 s the reference gives it instead of being misclassified as a
+    network error at 5 s (ADVICE r1)."""
+    import http.client
     import ssl
-    import urllib.error
-    import urllib.request
+    from urllib.parse import urlsplit
 
-    class _NoRedirect(urllib.request.HTTPRedirectHandler):
-        def redirect_request(self, req, fp, code, msg, headers, newurl):
-            return None
-
+    conn = None
     try:
-        ctx = ssl.create_default_context()
-        ctx.check_hostname = False
-        ctx.verify_mode = ssl.CERT_NONE  # --no-check-certificate (crawler.py:43)
-        opener = urllib.request.build_opener(
-            _NoRedirect, urllib.request.HTTPSHandler(context=ctx)
-        )
-        req = urllib.request.Request(
-            url, method=method, headers={"User-Agent": USER_AGENT}
-        )
-        with opener.open(req, timeout=CONNECT_TIMEOUT_S) as resp:
-            # HEAD carries no body; b"" (not NULL) so the router does
-            # not read it as the fetch-sim NULL-html network-error
-            # encoding (plans/crawl.py eff_status)
-            body = b""
-            if method != "HEAD":
-                body = resp.read()
-            return (
-                resp.status,
-                resp.headers.get("Location"),
-                (resp.headers.get("Content-Type") or "").split(";")[0] or None,
-                body,
+        parts = urlsplit(url)
+        if parts.scheme == "https":
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE  # --no-check-certificate (crawler.py:43)
+            conn = http.client.HTTPSConnection(
+                parts.hostname,
+                parts.port,
+                timeout=CONNECT_TIMEOUT_S,
+                context=ctx,
             )
-    except urllib.error.HTTPError as e:
-        return (
-            e.code,
-            e.headers.get("Location") if e.headers else None,
-            (e.headers.get("Content-Type") or "").split(";")[0]
-            if e.headers
-            else None,
-            None,
-        )
+        else:
+            conn = http.client.HTTPConnection(
+                parts.hostname, parts.port, timeout=CONNECT_TIMEOUT_S
+            )
+        conn.connect()  # DNS + TCP (+TLS) under the connect timeout
+        conn.sock.settimeout(READ_TIMEOUT_S)  # response phase: read timeout
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        conn.request(method, path, headers={"User-Agent": USER_AGENT})
+        resp = conn.getresponse()
+        location = resp.getheader("Location")
+        ctype = (resp.getheader("Content-Type") or "").split(";")[0] or None
+        if resp.status >= 300:
+            # redirects + errors carry no body, like the fetch-sim
+            # web_pages encoding (html NULL for non-200 rows)
+            return (resp.status, location, ctype, None)
+        # HEAD carries no body; b"" (not NULL) so the router does not
+        # read it as the fetch-sim NULL-html network-error encoding
+        # (plans/crawl.py eff_status)
+        body = b"" if method == "HEAD" else resp.read()
+        return (resp.status, location, ctype, body)
     except Exception:
         return (0, None, None, None)  # network error (plugin.py:176-183)
+    finally:
+        if conn is not None:
+            conn.close()
 
 
 def real_fetch(
