@@ -66,6 +66,77 @@ CHECKS = {
 }
 
 
+def crawl_operator_plans(spark, work_dir: str):
+    """Plans for the crawl-internal joins the 100 TB design leans on.
+    Built over real parquet scans (a synthetic 1M-row seen/lookup
+    table) so exchange behavior matches the deployed shape. The
+    critical property: the BIG side (seen set / web_pages lookup /
+    dims history) must show NO shuffle exchange — broadcast exchanges
+    of the wave-bounded side are the only exchanges allowed."""
+    import pyspark.sql.functions as F
+
+    from website_indexer_spark.operators.dims import dim_upsert_delta
+    from website_indexer_spark.operators.frontier import anti_join_seen
+
+    big = spark.range(0, 1_000_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("https://h.test/p"), F.col("id")).alias("url"),
+    )
+    big.write.mode("overwrite").parquet(os.path.join(work_dir, "seen"))
+    seen = spark.read.parquet(os.path.join(work_dir, "seen"))
+    wave = spark.range(0, 1000).select(
+        F.concat(F.lit("https://h.test/p"), F.col("id") * 997).alias("url")
+    )
+
+    no_shuffle = (
+        "big side never shuffle-exchanged (broadcast exchanges only)",
+        lambda p: "Exchange hashpartitioning" not in p
+        and "BroadcastExchange" in p,
+    )
+    plans = {}
+    plans["crawl_seen_anti_join"] = (
+        anti_join_seen(wave, seen.select("url_hash"), None, broadcast_frontier=True),
+        [
+            no_shuffle,
+            ("LeftSemi streams the seen scan map-side",
+             lambda p: "LeftSemi" in p),
+            ("final exclusion is a LeftAnti",
+             lambda p: "LeftAnti" in p),
+        ],
+    )
+
+    # the fetch join's satisfiable synthesis (plans/crawl.py A13):
+    # LeftSemi(BuildRight) hits off the lookup scan, then the hits
+    # broadcast back as BuildRight of the wave's LeftOuter
+    hits = seen.join(F.broadcast(wave.select("url")), "url", "left_semi")
+    fetched = wave.join(F.broadcast(hits), "url", "left")
+    plans["crawl_fetch_join"] = (
+        fetched,
+        [
+            no_shuffle,
+            ("left-outer preserved from the wave side",
+             lambda p: "LeftOuter" in p and "BuildRight" in p),
+        ],
+    )
+
+    plans["dims_merge_delta"] = (
+        dim_upsert_delta(
+            seen.select(F.col("url").alias("key")),
+            wave.select(F.col("url").alias("key")),
+            "key",
+        ),
+        [
+            (
+                "dimension history never shuffle-exchanged; only the "
+                "wave's distinct pays a shuffle",
+                lambda p: p.count("Exchange hashpartitioning") <= 1
+                and "BroadcastExchange" in p,
+            ),
+        ],
+    )
+    return plans
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from website_indexer_spark.plans.catalog import SPARK_QUERIES
@@ -81,9 +152,17 @@ def main() -> None:
            "Each plan is the AQE initial plan; checks assert the",
            "scan pushdowns / codegen / join strategies the 100 TB",
            "design depends on.", ""]
+    import tempfile
+
     failures = []
-    for name, checks in CHECKS.items():
-        df = SPARK_QUERIES[name](spark, sf_dir)
+    sections = [(name, SPARK_QUERIES[name](spark, sf_dir), checks)
+                for name, checks in CHECKS.items()]
+    work = tempfile.mkdtemp(prefix="plan_audit_")
+    sections += [
+        (name, df, checks)
+        for name, (df, checks) in crawl_operator_plans(spark, work).items()
+    ]
+    for name, df, checks in sections:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")

@@ -6,12 +6,12 @@ with a JSON manifest as the atomic commit marker:
 
     <root>/
       crawl.json                      # run manifest (config, status)
-      pages/superstep=K/*.parquet     # delta per superstep
-      errors/superstep=K/...
-      redirects/superstep=K/...
+      routed/superstep=K/record_type=page|error|redirect/*.parquet
       seen/superstep=K/...            # delta of newly-requested urls
+      dims/superstep=K/kind=component|link/  # MERGE-new keys only
       frontier/superstep=K/...        # FULL next frontier after step K
       manifests/K.json                # commit marker + counters
+      bloom/bucket=B.bin              # striped persistent Bloom filter
 
 A superstep K is committed iff manifests/K.json exists; readers only
 read ``superstep <= last_committed`` (partition pruning does the
