@@ -33,6 +33,7 @@ def dim_upsert_delta(
     incoming: DataFrame,
     key_cols: Union[str, List[str]],
     broadcast_incoming: bool = True,
+    small_existing: bool = False,
 ) -> DataFrame:
     """Keys of ``incoming`` that are not yet in ``existing``: the rows
     a MERGE would insert. Output is distinct, non-null ``key_cols``.
@@ -40,18 +41,26 @@ def dim_upsert_delta(
     physical table (e.g. the crawl store's ``(kind, key)`` dims table
     — one upsert job per superstep instead of one per dimension).
 
-    broadcast_incoming=True streams the (huge) dimension side
-    map-side against the broadcast incoming keys — the same
-    LeftSemi(BuildRight) → LeftAnti(BuildRight) composition as the
-    URL-seen set (operators/frontier.py exclude_keys), zero exchanges
-    on the dimension scan; False falls back to a shuffled anti-join
-    (storage-partitioned on a key-bucketed dimension table at
-    deployment scale).
+    Three physical strategies, picked by the caller's (free) size
+    knowledge — for the crawl store, the manifest counters:
+
+    * small_existing=True: the whole dimension broadcasts into ONE
+      LeftAnti(BuildRight) — fewest jobs; right while the dimension
+      fits a broadcast (the component dim forever, the link dim early).
+    * broadcast_incoming=True (default): the huge dimension streams
+      map-side unshuffled through LeftSemi(BuildRight) hits →
+      LeftAnti(BuildRight) — the URL-seen-set composition
+      (operators/frontier.py exclude_keys); right once the dimension
+      outgrows broadcast but the wave's keys don't.
+    * both False: plain shuffled anti-join — storage-partitioned on a
+      key-bucketed dimension table at deployment scale.
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     inc = incoming.select(*key_cols).na.drop(subset=key_cols).distinct()
     ex = existing.select(*key_cols)
+    if small_existing:
+        return inc.join(F.broadcast(ex), key_cols, "left_anti")
     if broadcast_incoming:
         hits = ex.join(F.broadcast(inc), key_cols, "left_semi")
         return inc.join(F.broadcast(hits), key_cols, "left_anti")

@@ -116,6 +116,12 @@ SEQ_FANOUT_ESTIMATE = 64
 # free.
 BROADCAST_FETCH_THRESHOLD = 2_000_000
 
+# Below this many cumulative dimension keys (known free from the
+# manifest counters) the dims MERGE broadcasts the whole dimension
+# history into one LeftAnti; above it, the history streams map-side
+# against the broadcast wave keys (operators/dims.py strategies).
+DIM_BROADCAST_THRESHOLD = 500_000
+
 # With use_bloom=None (auto), the persistent striped Bloom prefilter
 # turns on once the cumulative seen set crosses this row count —
 # below it the exact broadcast anti-join alone is cheaper than the
@@ -185,6 +191,7 @@ def run_crawl(
 
     requested_total = 0
     seq_base = 1  # seed took seq 0
+    dims_total = 0  # cumulative dimension keys (manifest-tracked)
 
     if resume and store.last_committed() >= 0:
         store.rollback_uncommitted()
@@ -195,6 +202,9 @@ def run_crawl(
             requested_total += m["counters"]["requested"]
             seq_base = max(seq_base, m["counters"]["seq_base"])
             frontier_count = m["counters"]["enqueued"]
+            dims_total += m["counters"].get("components_new", 0) + m[
+                "counters"
+            ].get("links_new", 0)
         k = last + 1
     else:
         # a FRESH run must not see a previous crawl's state: stale
@@ -541,7 +551,10 @@ def run_crawl(
                     )
                 )
                 dims_delta = dim_upsert_delta(
-                    store.read_all("dims"), incoming, ["kind", "key"]
+                    store.read_all("dims"),
+                    incoming,
+                    ["kind", "key"],
+                    small_existing=dims_total <= DIM_BROADCAST_THRESHOLD,
                 )
                 store.write_delta(
                     "dims", dims_delta.coalesce(1), k, partition_by=["kind"]
@@ -596,6 +609,9 @@ def run_crawl(
                 },
             )
 
+            dims_total += dim_counts.get("component", 0) + dim_counts.get(
+                "link", 0
+            )
             frontier.unpersist()
             if selected is not frontier:
                 selected.unpersist()
