@@ -672,6 +672,12 @@ def main() -> None:  # pragma: no cover - CLI for spark-submit --py-files
         f"{BLOOM_AUTO_SEEN_THRESHOLD} seen URLs)",
     )
     ap.add_argument("--no-bloom", dest="bloom", action="store_const", const=False)
+    ap.add_argument(
+        "--no-dims",
+        dest="dims",
+        action="store_false",
+        help="skip the per-superstep Component/Link dimension MERGE",
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -689,6 +695,7 @@ def main() -> None:  # pragma: no cover - CLI for spark-submit --py-files
         salt_buckets=args.salt_buckets,
         use_bloom=args.bloom,
         resume=args.resume,
+        maintain_dims=args.dims,
     )
     print(
         f"crawl finished: supersteps={result.supersteps} pages={result.pages} "
