@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "token_counts",
     "ann_topk",
     "embedding_dup_pairs_lsh",
+    "dimension_upsert",
 ]
 
 

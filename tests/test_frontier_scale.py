@@ -213,3 +213,35 @@ def test_crawl_failure_lifecycle_and_resume(spark, tmp_path, monkeypatch):
     rec = json.loads((out / "crawl.json").read_text())
     assert rec["status"] == "Finished"
     assert "failure_message" in rec  # history preserved, status superseded
+
+
+@pytest.mark.slow
+def test_dims_huge_wave_and_big_history_paths(spark, tmp_path, monkeypatch):
+    """Force the dims MERGE's scale strategies — shuffled anti-join
+    (huge-wave fallback) and streams-map-side (big history) — and
+    require the dimension tables to come out identical to the
+    default broadcast-history path."""
+    web, seed = _fanout_site(40)
+
+    def dims_of(out):
+        r = C.run_crawl(spark, web_dict_to_df(spark, web), seed, str(out))
+        return (
+            sorted(x["class_name"] for x in r.store.read_all("dim_components").collect()),
+            sorted(x["href"] for x in r.store.read_all("dim_links").collect()),
+        )
+
+    want = dims_of(tmp_path / "default")
+    assert want[1]  # links dimension non-trivial
+
+    # huge-wave fallback: est_accepted > fetch threshold => shuffled
+    monkeypatch.setattr(C, "BROADCAST_FETCH_THRESHOLD", 10)
+    got_shuffled = dims_of(tmp_path / "shuffled")
+    monkeypatch.undo()
+
+    # big-history: dims_total > 0-threshold => streams-map-side from
+    # the second superstep on
+    monkeypatch.setattr(C, "DIM_BROADCAST_THRESHOLD", 0)
+    got_streamed = dims_of(tmp_path / "streamed")
+
+    assert got_shuffled == want
+    assert got_streamed == want

@@ -550,10 +550,19 @@ def run_crawl(
                         F.explode("ex.links").alias("key"),
                     )
                 )
+                # same wave-size guard as the seen anti-join: a huge
+                # wave's href keys (≈ wave × fan-out) must not be
+                # broadcast — fall back to the shuffled anti-join
+                # (storage-partitioned on a key-bucketed dims table at
+                # deployment scale)
                 dims_delta = dim_upsert_delta(
                     store.read_all("dims"),
                     incoming,
                     ["kind", "key"],
+                    broadcast_incoming=(
+                        n_selected * SEQ_FANOUT_ESTIMATE
+                        <= BROADCAST_FETCH_THRESHOLD
+                    ),
                     small_existing=dims_total <= DIM_BROADCAST_THRESHOLD,
                 )
                 store.write_delta(
