@@ -105,17 +105,21 @@ def crawl_operator_plans(spark, work_dir: str):
         ],
     )
 
-    # the fetch join's satisfiable synthesis (plans/crawl.py A13):
-    # LeftSemi(BuildRight) hits off the lookup scan, then the hits
-    # broadcast back as BuildRight of the wave's LeftOuter
-    hits = seen.join(F.broadcast(wave.select("url")), "url", "left_semi")
-    fetched = wave.join(F.broadcast(hits), "url", "left")
+    # the fetch join's hits ∪ misses synthesis (plans/crawl.py A13):
+    # full-width inner pass with the wave broadcast, plus a
+    # url-column-only pass for the miss set — html never crosses the
+    # driver, nothing shuffles, everything parallelizes
+    from website_indexer_spark.plans.crawl import fetch_sim_join
+
+    fetched, _ = fetch_sim_join(seen, wave, 1000)
     plans["crawl_fetch_join"] = (
         fetched,
         [
             no_shuffle,
-            ("left-outer preserved from the wave side",
-             lambda p: "LeftOuter" in p and "BuildRight" in p),
+            ("hits: inner join builds the broadcast wave side",
+             lambda p: "BuildRight" in p),
+            ("misses derived via LeftSemi + LeftAnti, unioned back",
+             lambda p: "LeftSemi" in p and "LeftAnti" in p and "Union" in p),
         ],
     )
 
