@@ -146,6 +146,10 @@ def main() -> None:
         )
         extract_s = time.time() - t0
         timings["extract_only"] = round(extract_s, 3)
+        # the 4 MB split size is an extract-bench knob — restore the
+        # default so the crawl's lookup scans aren't shredded into
+        # hundreds of scheduling-overhead-sized tasks
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
 
         # ---- end-to-end crawl (the headline) -----------------------
         # warm-up: 2 supersteps on a scratch dir so one-time costs

@@ -178,6 +178,18 @@ def test_large_scale_paths_forced(spark, tmp_path, monkeypatch):
     for url, expected in oracle.pages.items():
         assert depths[url] == expected["depth"], url
 
+    # mid path: disable the point-lookup shortcut so every wave takes
+    # the streamed hits ∪ misses plan (the big-wave default)
+    monkeypatch.undo()
+    monkeypatch.setattr(C, "POINT_LOOKUP_THRESHOLD", 0)
+    result2 = C.run_crawl(
+        spark, web_dict_to_df(spark, web), seed, str(tmp_path / "mid")
+    )
+    pages2 = {r["url"] for r in result2.store.read_all("pages").collect()}
+    seen2 = {r["url"] for r in result2.store.read_all("seen").collect()}
+    assert pages2 == set(oracle.pages)
+    assert seen2 == set(oracle.requested)
+
 
 def test_table_backend_seam(spark, tmp_path):
     """CrawlStore runs unchanged through an explicitly-passed

@@ -116,6 +116,16 @@ SEQ_FANOUT_ESTIMATE = 64
 # free.
 BROADCAST_FETCH_THRESHOLD = 2_000_000
 
+# Tiny waves (the seed superstep, warmup, BFS tails, resumed crawls)
+# must not pay a full pass over the lookup table: below this count the
+# wave's URLs are collected (a few KB) and pushed into the scan as an
+# IN predicate — parquet row-group/page skipping (min/max + column
+# index) and in-memory-cache batch pruning turn the "scan" into a
+# point lookup, the 100 TB equivalent of an indexed multi-get. Above
+# it, amortizing one streamed pass over the wave is cheaper than a
+# megarow IN list.
+POINT_LOOKUP_THRESHOLD = 4096
+
 # Below this many cumulative dimension keys (known free from the
 # manifest counters) the dims MERGE broadcasts the whole dimension
 # history into one LeftAnti; above it, the history streams map-side
@@ -139,6 +149,25 @@ def fetch_sim_join(web, selected, n_selected):
         # deployment a storage-partitioned join against the
         # url-bucketed Iceberg table
         return selected.join(web, "url", "left"), []
+    if n_selected <= POINT_LOOKUP_THRESHOLD:
+        # point-lookup path: the wave's URL list is driver-sized (it
+        # was just counted from the persisted wave), so push it into
+        # the lookup scan as an IN predicate. The "full pass" becomes
+        # a stats-pruned point lookup, and both the hits pass and the
+        # in-lookup url set read the SAME tiny filtered scan.
+        urls = [r[0] for r in selected.select("url").collect()]
+        lookup = web.filter(F.col("url").isin(urls))
+        hits = lookup.join(F.broadcast(selected), "url", "inner")
+        in_web = lookup.select("url")
+        null_web_cols = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in web.schema.fields
+            if f.name != "url"
+        ]
+        misses = selected.join(F.broadcast(in_web), "url", "left_anti").select(
+            "*", *null_web_cols
+        )
+        return hits.unionByName(misses), []
     # hits: one full-width streamed pass over the lookup scan with the
     # wave broadcast as BuildRight — html bytes stay in executor
     # partitions end to end
