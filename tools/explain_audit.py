@@ -105,15 +105,34 @@ def crawl_operator_plans(spark, work_dir: str):
         ],
     )
 
-    # the fetch join's hits ∪ misses synthesis (plans/crawl.py A13):
-    # full-width inner pass with the wave broadcast, plus a
-    # url-column-only pass for the miss set — html never crosses the
-    # driver, nothing shuffles, everything parallelizes
-    from website_indexer_spark.plans.crawl import fetch_sim_join
+    # the fetch join's hits ∪ misses synthesis (plans/crawl.py A13).
+    # Tiny waves: the wave's URL list is pushed into the lookup scan
+    # as an IN predicate (point lookup — parquet row-group skipping).
+    # Big waves: full-width streamed pass with the wave broadcast,
+    # plus a url-column-only pass for the miss set. Either way html
+    # never crosses the driver, nothing shuffles.
+    from website_indexer_spark.plans.crawl import (
+        POINT_LOOKUP_THRESHOLD,
+        fetch_sim_join,
+    )
 
-    fetched, _ = fetch_sim_join(seen, wave, 1000)
-    plans["crawl_fetch_join"] = (
-        fetched,
+    fetched_point, _ = fetch_sim_join(seen, wave, 1000)
+    plans["crawl_fetch_join_point"] = (
+        fetched_point,
+        [
+            no_shuffle,
+            ("wave URL list pushed into the lookup scan (IN predicate)",
+             lambda p: "PushedFilters: [In(url" in p),
+            ("hits: inner join builds the broadcast wave side",
+             lambda p: "BuildRight" in p),
+            ("misses via LeftAnti over the same filtered scan, unioned",
+             lambda p: "LeftAnti" in p and "Union" in p),
+        ],
+    )
+
+    fetched_streamed, _ = fetch_sim_join(seen, wave, POINT_LOOKUP_THRESHOLD + 1)
+    plans["crawl_fetch_join_streamed"] = (
+        fetched_streamed,
         [
             no_shuffle,
             ("hits: inner join builds the broadcast wave side",

@@ -109,6 +109,8 @@ def main() -> None:
         return merge_best(runs)
 
     from_log = os.environ.get("SCALE_FROM_LOG")
+    peak_cpus = int(os.environ.get("SCALE_PEAK_CPUS", "0"))
+    r_peak = None
     if from_log:
         # salvage mode: reuse bench JSON lines from a previous run's log
         runs = []
@@ -118,9 +120,14 @@ def main() -> None:
                     runs.append(json.loads(line))
         r_low = merge_best([r for r in runs if r["cpus"] == low])
         r_high = merge_best([r for r in runs if r["cpus"] == high])
+        peak_runs = [r for r in runs if r["cpus"] == peak_cpus]
+        if peak_cpus and peak_runs:
+            r_peak = merge_best(peak_runs)
     else:
         r_low = best(low)
         r_high = best(high)
+        if peak_cpus:
+            r_peak = best(peak_cpus)
 
     print("measuring the VM's attainable CPU-scaling ceiling ...", flush=True)
     ceiling = cpu_ceiling(low, high)
@@ -207,11 +214,38 @@ codegen warmed before timing.
             f"{r_high['queries'].get(name, '-')} |\n"
         )
     md += f"""
+## Why N={low} → 4N={high} (and not 8 → 32)
+
+The scaling pair is chosen to fit inside the VM's *real* capacity:
+the {max(high, 32)} advertised cores are SMT/host-shared (the
+busy-worker probe above measures the attainable ratio directly), and
+each extract task occupies ~2 OS processes (a JVM scan/decode thread
+plus an Arrow-coupled Python worker), so higher Spark core counts
+oversubscribe the host and the measurement stops reflecting added
+hardware. At {low}→{high} Spark cores the job stays inside measured
+capacity, which is the regime that transfers to a real cluster where
+N→4N executors means 4x actual hardware.
+"""
+    if r_peak is not None:
+        md += f"""
+## Peak single-node throughput (local[{peak_cpus}], informational)
+
+Best observed on this VM with all {peak_cpus} advertised cores —
+oversubscribed per the note above, so NOT a scaling datapoint, just
+the sandbox ceiling: **{r_peak['value']} URLs/sec end-to-end**
+({r_peak['crawl']['crawl_sec']} s crawl over
+{r_peak['crawl']['requested']} requested URLs) and
+**{r_peak['crawl']['extract_pages_per_sec']} pages/sec** extraction
+kernel — vs the reference crawler's configured ≤2 URLs/sec serial
+bound (`--wait=0.5 --random-wait`, observed ~1.1 URLs/sec on its
+fixture).
+"""
+    md += f"""
 Raw JSON:
 
 ```json
 {json.dumps(r_low)}
-{json.dumps(r_high)}
+{json.dumps(r_high)}{chr(10) + json.dumps(r_peak) if r_peak is not None else ""}
 ```
 """
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
