@@ -359,35 +359,149 @@ def cosine_dup_pairs(
     bands: int = 8,
     seed: int = 11,
     exact: bool = False,
+    max_bucket: int = 4096,
+    refine_bits: int = 16,
 ) -> DataFrame:
     """Pairs (a < b) with cosine >= threshold.
 
     exact=True: all-pairs (broadcast self cross join) — the oracle
     path, quadratic, fine for small corpora. Default: LSH-bucketed
-    candidates (band equi-join) + exact cosine verify — near-linear;
-    recall follows the hyperplane S-curve (high for thresholds near
-    1, which is the near-duplicate regime this operator serves).
+    fused verify — each vector ships to its `bands` (band, code)
+    buckets in ONE shuffle, and the pairwise cosine check runs as a
+    blocked numpy matmul inside the bucket (applyInPandas), so the
+    candidate pair set is never materialized as rows and never
+    re-joined against the vectors. Recall follows the hyperplane
+    S-curve (high for thresholds near 1, the near-duplicate regime
+    this operator serves).
+
+    Skew/memory bound: a bucket is held in one task's memory, so
+    buckets larger than `max_bucket` are pre-split by extra seeded
+    hyperplane bits (`refine_bits` reserve planes, computed in the
+    same coding pass). The split uses ceil(log2(n/max_bucket)) bits
+    — just enough sub-buckets to fit — and costs recall only inside
+    oversized buckets (pairs landing in different sub-buckets), the
+    standard LSH capacity trade. Detection is a narrow (band, code)
+    count aggregate; only oversized keys are broadcast back.
     """
     c1 = corpus.select(F.col(id_col).cast("long").alias("a"), F.col(vec_col).alias("_va"))
     c2 = corpus.select(F.col(id_col).cast("long").alias("b"), F.col(vec_col).alias("_vb"))
     if exact:
         pairs = c1.crossJoin(c2).filter(F.col("a") < F.col("b"))
-    else:
-        codes = lsh_codes(corpus, dim, id_col, vec_col, n_planes, bands, seed)
-        cand = (
-            codes.alias("x")
-            .join(
-                codes.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.code") == F.col("y.code"))
-                & (F.col("x.vid") < F.col("y.vid")),
-            )
-            .select(F.col("x.vid").alias("a"), F.col("y.vid").alias("b"))
-            .distinct()
+        return (
+            pairs.transform(lambda d: with_cosine(d, "_va", "_vb"))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine")
         )
-        pairs = cand.join(c1, "a").join(c2, "b")
-    return (
-        pairs.transform(lambda d: with_cosine(d, "_va", "_vb"))
-        .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    rplanes = _hyperplanes(dim, refine_bits, seed + 1)
+    width = n_planes // bands
+
+    code_schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("code", T.LongType()),
+            T.StructField("rcode", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
     )
+
+    def code_with_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = 1 << np.arange(width, dtype=np.int64)
+        rw = 1 << np.arange(refine_bits, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            bits = (mat @ planes.T) > 0
+            rcode = ((mat @ rplanes.T) > 0) @ rw
+            vecs = list(pdf["vec"])
+            for b in range(bands):
+                code = bits[:, b * width : (b + 1) * width] @ w
+                yield pd.DataFrame(
+                    {
+                        "vid": pdf["vid"].to_numpy(),
+                        "band": np.full(len(pdf), b, dtype=np.int32),
+                        "code": code,
+                        "rcode": rcode,
+                        "vec": vecs,
+                    }
+                )
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    coded = src.mapInPandas(code_with_vec, code_schema)
+
+    # skew guard: sub-split only the buckets that would blow the
+    # per-task bound (narrow count agg; oversized keys are few and
+    # broadcast back onto the coded stream)
+    oversized = (
+        coded.groupBy("band", "code")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select(
+            "band",
+            "code",
+            F.ceil(F.log2(F.col("count") / F.lit(max_bucket)))
+            .cast("long")
+            .alias("_sub_bits"),
+        )
+    )
+    keyed = coded.join(F.broadcast(oversized), ["band", "code"], "left").withColumn(
+        "sub",
+        F.when(
+            F.col("_sub_bits").isNotNull(),
+            F.col("rcode") % F.pow(F.lit(2.0), F.col("_sub_bits")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": "int64", "b": "int64", "cosine": "float64"}
+            )
+        mat = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        vids = pdf["vid"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        block = 1024
+        for i in range(0, n, block):
+            sims = unit[i : i + block] @ unit.T  # (block, n)
+            rows, cols = np.nonzero(sims >= threshold)
+            if len(rows) == 0:
+                continue
+            va, vb = vids[rows + i], vids[cols]
+            keep = va < vb
+            out_a.append(va[keep])
+            out_b.append(vb[keep])
+            out_c.append(sims[rows[keep], cols[keep]])
+        if not out_a:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": "int64", "b": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    pairs = keyed.groupBy("band", "code", "sub").applyInPandas(verify, pair_schema)
+    # the same pair can surface from several bands with a bitwise-
+    # identical cosine (same float64 pipeline on the same vectors)
+    return pairs.dropDuplicates(["a", "b"]).select("a", "b", "cosine")

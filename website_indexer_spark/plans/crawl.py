@@ -55,6 +55,7 @@ from __future__ import annotations
 import argparse
 import time
 import traceback
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Optional
 
@@ -156,7 +157,14 @@ def fetch_sim_join(web, selected, n_selected):
         # a stats-pruned point lookup, and both the hits pass and the
         # in-lookup url set read the SAME tiny filtered scan.
         urls = [r[0] for r in selected.select("url").collect()]
-        lookup = web.filter(F.col("url").isin(urls))
+        # ONE py4j call: Column.isin(urls) would ship one literal per
+        # URL over the py4j socket (thousands of driver round-trips
+        # per superstep — measured ~0.3 s per wave); a single SQL IN
+        # expression parses JVM-side and pushes down identically
+        in_list = ",".join(
+            "'" + u.replace("\\", "\\\\").replace("'", "\\'") + "'" for u in urls
+        )
+        lookup = web.filter(F.expr(f"url IN ({in_list})"))
         hits = lookup.join(F.broadcast(selected), "url", "inner")
         in_web = lookup.select("url")
         null_web_cols = [
@@ -587,8 +595,6 @@ def run_crawl(
             # ONE write materializes all three routed sinks off the cached
             # extraction; counters come from parquet metadata afterwards.
             t = _mark("plan-build", t)
-            store.write_delta("routed", routed_delta, k, partition_by=["record_type"])
-            t = _mark("write-routed", t)
             # --- dimension upsert (A17 persistent form) ---------------
             # Reference writer.py:22-43 bulk_create(ignore_conflicts):
             # append only the wave's NEW component classes / link hrefs.
@@ -620,18 +626,45 @@ def run_crawl(
                     ),
                     small_existing=dims_total <= DIM_BROADCAST_THRESHOLD,
                 )
-                store.write_delta(
-                    "dims", dims_delta.coalesce(1), k, partition_by=["kind"]
+
+            # The four delta writes are mutually independent (all hang
+            # off the persisted extraction / the already-counted wave),
+            # so they are submitted as CONCURRENT Spark jobs from driver
+            # threads: their fixed per-job latencies (scheduling +
+            # parquet commit protocol) overlap instead of summing, and
+            # the cluster stays busy while small writes commit. Safe by
+            # construction — Spark's block-level cache locks make
+            # concurrent first-touch of `extracted` compute each cached
+            # block exactly once; the manifest (the only commit marker)
+            # is written strictly after every future resolves.
+            writes = [
+                (
+                    "routed",
+                    lambda: store.write_delta(
+                        "routed", routed_delta, k, partition_by=["record_type"]
+                    ),
+                ),
+                # seen deltas are narrow (hash+url): single file keeps
+                # the table's file count equal to the superstep count
+                ("seen", lambda: store.write_delta("seen", seen_delta.coalesce(1), k)),
+                ("frontier", lambda: store.write_delta("frontier", next_frontier, k)),
+            ]
+            if maintain_dims:
+                writes.append(
+                    (
+                        "dims",
+                        lambda: store.write_delta(
+                            "dims", dims_delta.coalesce(1), k, partition_by=["kind"]
+                        ),
+                    )
                 )
-                t = _mark("write-dims", t)
-            # seen deltas are narrow (hash+url): single file keeps the
-            # table's file count equal to the superstep count
-            store.write_delta("seen", seen_delta.coalesce(1), k)
-            t = _mark("write-seen", t)
-            store.write_delta("frontier", next_frontier, k)
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                futures = [pool.submit(fn) for _label, fn in writes]
+                for fut in futures:
+                    fut.result()  # re-raises the first write failure
             for cached in seq_persists:  # numbering materialized by the write
                 cached.unpersist()
-            t = _mark("write-frontier", t)
+            t = _mark("write-deltas", t)
 
             # counters from parquet footers — metadata only, no jobs
             counts = store.footer_counts("routed", k)

@@ -182,6 +182,13 @@ def build_spark(
         "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
         "spark.sql.session.timeZone": "UTC",
         "spark.ui.enabled": "false",
+        # v2 commit: tasks move outputs into place at task commit, so
+        # job commit is O(1) instead of a serial driver-side rename
+        # per file — the crawl writes 4 small deltas per superstep and
+        # the rename fan-out was measurable fixed cost. Safe here: the
+        # manifest marker (not the output dir) is the commit point, so
+        # a torn v2 write is invisible exactly like a torn v1 write.
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     }
     conf.update(extra_conf or {})
     for k, v in conf.items():
