@@ -136,3 +136,28 @@ def test_cosine_dup_pairs_lsh_finds_planted(spark):
         for r in sim.cosine_dup_pairs(df, 0.999, DIM, bands=8, n_planes=16).collect()
     }
     assert (100, 101) in got
+
+
+def test_cosine_dup_pairs_lsh_skew_split(spark):
+    """Force the oversized-bucket sub-split: near-identical vectors all
+    land in the same (band, code) buckets, so with max_bucket below the
+    corpus size every bucket must be pre-split by the reserve
+    hyperplane bits — and the planted twin pairs must still surface
+    (identical vectors agree on every reserve bit, so the split can
+    never separate an exact-duplicate pair)."""
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal(DIM)
+    # 30 jittered copies of one direction → every (band, code) bucket
+    # holds ~all 30 rows; plus two exact-twin pairs
+    rows = [(i, (base + rng.standard_normal(DIM) * 0.2).tolist()) for i in range(30)]
+    rows += [(100, base.tolist()), (101, base.tolist())]
+    rows += [(200, (base * 3.0).tolist()), (201, (base * 3.0).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sim.cosine_dup_pairs(
+        df, 0.9999, DIM, bands=8, n_planes=16, max_bucket=8
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (100, 101) in pairs and (200, 201) in pairs
+    # output contract: a < b, no duplicate pairs, cosine >= threshold
+    assert all(r["a"] < r["b"] and r["cosine"] >= 0.9999 for r in got)
+    assert len(pairs) == len(got)
