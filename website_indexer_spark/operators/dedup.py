@@ -76,19 +76,39 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
     """Distinct word n-gram shingles per document as (doc, shingle).
-    Built natively: split → slide a window via transform over indices."""
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    Built natively: split → slide a window via transform over indices.
+
+    The tokenization is staged as its OWN projection so the window
+    lambda's n references to the token array bind to a materialized
+    column, not n inlined copies of the split: CollapseProject keeps
+    the stage (it refuses to duplicate non-cheap expressions), whereas
+    a single fused expression re-split the text once per element_at —
+    O(tokens^2) work per document (measured 3-4x on real corpora).
+
+    Tiny inputs (one small parquet file -> one scan partition) would
+    serialize the whole explosion into a single task; FileSourceScan
+    can't split below one file, so fan the rows out to the session
+    default parallelism first. The repartition shuffle moves only the
+    raw text once — free next to the explosion it unlocks; at real
+    scale inputs arrive in many files and the branch is a no-op.
+    """
+    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+    if src.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
+        src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = F.filter(F.split(F.trim(F.col("_text")), r"\s+"), lambda t: t != "")
+    staged = src.select("doc", toks.alias("_toks"))
+    tcol = F.col("_toks")
     grams = F.when(
-        F.size(toks) >= n,
+        F.size(tcol) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
+            F.sequence(F.lit(0), F.size(tcol) - n),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                " ", *[F.element_at(tcol, i + j + 1) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("doc"),
+    return staged.select(
+        "doc",
         F.explode(F.array_distinct(grams)).alias("shingle"),
     )
 

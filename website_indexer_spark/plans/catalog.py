@@ -355,7 +355,14 @@ def q_dimension_upsert(spark, sf):
     incoming = sh.filter(F.col("doc") % 2 == 1).select(
         F.col("shingle").alias("token")
     )
-    return dim_upsert_delta(existing, incoming, "token")
+    # incoming here is HALF THE CORPUS's distinct shingles (~10^6 keys
+    # at sf0.1), not a wave-sized increment — per the operator's own
+    # strategy table that mandates the shuffled anti-join: broadcasting
+    # megabytes of string keys through the driver is a serial floor
+    # (measured ~13 s flat across 1/4/32 cores; shuffled path scales).
+    return dim_upsert_delta(
+        existing, incoming, "token", broadcast_incoming=False
+    )
 
 
 def q_lang_id(spark, sf):
