@@ -1,0 +1,110 @@
+"""Connected-components dedup clustering: the Spark large-star /
+small-star contraction must agree with a plain union-find oracle on
+every graph shape that stresses it (chains = many rounds, stars =
+high degree, singletons = no edges)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_indexer_spark.operators.clusters import (
+    assign_clusters,
+    cluster_stats,
+    connected_components,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min node id in the component
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return {x: min(members) for r, members in comp.items() for x in members}
+
+
+def _spark_components(spark, edges):
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = connected_components(df)
+    return {r["node"]: r["component"] for r in got.collect()}
+
+
+def test_two_components_and_isolated(spark):
+    edges = [(1, 2), (2, 3), (5, 6)]
+    got = _spark_components(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_long_chain_converges(spark):
+    # a 40-node path graph: diameter 40 would defeat naive
+    # label-propagation within a couple rounds; star contraction
+    # converges in O(log^2 n)
+    edges = [(i, i + 1) for i in range(40)]
+    got = _spark_components(spark, edges)
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_high_degree_star_with_bridge(spark):
+    # hub 100 with 50 spokes, bridged to a second hub
+    edges = [(100, 200 + i) for i in range(50)] + [(200, 300), (300, 100)]
+    got = _spark_components(spark, edges)
+    assert set(got.values()) == {100}
+    assert len(got) == 52  # {100} ∪ {200..249} ∪ {300}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _union_find(n, edges)
+    got = _spark_components(spark, edges)
+    # spark result covers only nodes that appear in an edge
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_assign_clusters_includes_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in assign_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_cluster_stats(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["doc_a", "doc_b"])
+    stats = {
+        r["cluster_id"]: (r["n_docs"], r["keep_id"])
+        for r in cluster_stats(assign_clusters(docs, pairs)).collect()
+    }
+    assert stats[0] == (3, 0)
+    assert all(v == (1, k) for k, v in stats.items() if k != 0)
+
+
+def test_empty_pairs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in assign_clusters(docs, pairs).collect()
+    }
+    assert got == {i: i for i in range(4)}

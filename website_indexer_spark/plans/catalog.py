@@ -24,8 +24,9 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from website_indexer_spark.functions import redact
 from website_indexer_spark.functions import textstats as ts
-from website_indexer_spark.operators import dedup, similarity
+from website_indexer_spark.operators import clusters, dedup, sampling, similarity
 from website_indexer_spark.operators.dims import dim_upsert_delta
 from website_indexer_spark.plans import queries as vq
 
@@ -365,6 +366,47 @@ def q_dimension_upsert(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup pairs → transitive-closure clusters (the step every
+    production dedup ends with): exact-Jaccard edges at the
+    dedup_jaccard gate's settings, contracted by large-star/small-star
+    connected components (operators/clusters.py); every document maps
+    to its cluster's min doc_id."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.4, max_shingle_df=25
+    ).select("doc_a", "doc_b")
+    return clusters.assign_clusters(docs, pairs)
+
+
+def q_hash_sample(spark, sf):
+    """Deterministic md5-keyed fraction sample (training-data mixing):
+    stable under repartition/append, pure narrow filter."""
+    return sampling.hash_sample(
+        _t(spark, sf, "documents"), "doc_id", 0.25
+    ).select("doc_id", "source")
+
+
+def q_stratified_sample(spark, sf):
+    """Exactly-20-per-language quota sample drawn by the doc_id hash
+    rank (deterministic data mixing across strata)."""
+    return sampling.stratified_quota(
+        _t(spark, sf, "documents"), "lang", "doc_id", 20
+    ).select("doc_id", "lang")
+
+
+def q_pii_scrub(spark, sf):
+    """PII redaction over the events.props payload (emails, phone
+    shapes, digit runs) + per-pattern audit counts."""
+    return redact.scrub_pii(_t(spark, sf, "events"), "props", ["event_id"])
+
+
+def q_topk_terms(spark, sf):
+    """Global top-50 vocabulary of the documents corpus by occurrence
+    count (ties broken by term)."""
+    return redact.topk_terms(_t(spark, sf, "documents"), "doc_id", "text", 50)
+
+
 def q_lang_id(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", ts.lang_id(F.col("text")).alias("pred_lang")
@@ -449,7 +491,12 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "fingerprint_overlap": q_fingerprint_overlap,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "pii_scrub": q_pii_scrub,
+    "topk_terms": q_topk_terms,
     "dimension_upsert": q_dimension_upsert,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -699,6 +746,67 @@ ORACLE_SQL: Dict[str, str] = {
         FROM documents GROUP BY md5(text)
     """,
     "dedup_jaccard": _JACCARD_SQL.format(threshold=0.4, max_df=25),
+    # transitive closure of the jaccard near-dup pairs via a recursive
+    # CTE (min reachable doc_id per node == the component min the
+    # large-star/small-star contraction converges to)
+    "dedup_clusters": """
+        WITH RECURSIVE jac AS (
+          {jac}
+        ), e AS (
+          SELECT doc_a AS u, doc_b AS v FROM jac
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM jac
+        ), reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.node
+        )
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """.format(jac=_JACCARD_SQL.format(threshold=0.4, max_df=25)),
+    "hash_sample": """
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rk
+          FROM documents
+        ) WHERE rk <= 20
+    """,
+    "pii_scrub": r"""
+        SELECT event_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(props,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+            '[0-9][0-9.]*', '<NUM>', 'g') AS scrubbed,
+          len(regexp_extract_all(props,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          len(regexp_extract_all(props,
+            '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS n_phone,
+          len(regexp_extract_all(props, '[0-9][0-9.]*')) AS n_number
+        FROM events
+    """,
+    "topk_terms": r"""
+        WITH tok AS (
+          SELECT doc_id AS doc,
+                 unnest(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x <> '')) AS term
+          FROM documents
+        ), per_doc AS (
+          SELECT doc, term, count(*) AS n FROM tok GROUP BY doc, term
+        )
+        SELECT term, count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_occurrences
+        FROM per_doc GROUP BY term
+        ORDER BY n_occurrences DESC, term ASC LIMIT 50
+    """,
     # dedup_minhash_lsh deliberately has NO oracle (ADVICE r1): its
     # exact-Jaccard-over-LSH-candidates output has recall
     # 1-(1-j^r)^b < 1 against the all-pairs SQL, so hash equality
