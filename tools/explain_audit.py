@@ -63,6 +63,33 @@ CHECKS = {
         ("query side broadcast (no shuffle of the corpus for the join)",
          lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
     ],
+    "hash_sample": [
+        ("pure narrow filter: zero exchanges, sample decided per-row",
+         lambda p: "Exchange" not in p),
+        ("column pruning reaches the scan",
+         lambda p: "ReadSchema" in p and "text" not in
+         p.split("ReadSchema", 1)[-1][:200]),
+    ],
+    "stratified_sample": [
+        ("one shuffle total: the stratum-key window partitioning "
+         "(tree + detail section each print it once)",
+         lambda p: p.count("Exchange hashpartitioning") <= 2),
+        ("partial rank-limit pushed below the shuffle: each map task "
+         "pre-prunes to the quota before exchanging",
+         lambda p: "WindowGroupLimit" in p and "Partial" in p),
+    ],
+    "pii_scrub": [
+        ("redaction is a narrow projection: zero exchanges",
+         lambda p: "Exchange" not in p),
+        ("whole-stage codegen covers the regex projection",
+         lambda p: "codegen id" in p),
+    ],
+    "topk_terms": [
+        ("map-side partial aggregation before each shuffle",
+         lambda p: "partial" in p.lower()),
+        ("global top-k via TakeOrdered, no full sort materialized",
+         lambda p: "TakeOrderedAndProject" in p),
+    ],
 }
 
 
