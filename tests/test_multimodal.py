@@ -74,3 +74,36 @@ def test_fake_decode_shapes():
     # same payload => same pixels
     assert (img == mm._decode_fake(b"payload", "image", meta)).all()
     assert not (img == mm._decode_fake(b"other", "image", meta)).all()
+
+
+def test_media_from_documents_and_payload_stats(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine"), (3, "")],
+        ["doc_id", "text"],
+    )
+    media = mm.media_from_documents(docs)
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "kind", "payload", "meta",
+    ]
+    got = {r["media_id"]: r for r in mm.payload_stats(media).collect()}
+    for doc_id, text in [(1, "hello world"), (2, "spark engine"), (3, "")]:
+        assert got[doc_id]["n_bytes"] == len(text.encode())
+        assert got[doc_id]["payload_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_media_features_gate_shape(spark):
+    docs = spark.createDataFrame(
+        [(i, "word " * (i + 1)) for i in range(6)], ["doc_id", "text"]
+    )
+    media = mm.media_from_documents(docs)
+    feats = mm.image_features(media, thumb=8).collect()
+    assert len(feats) == 6
+    # decode dims come from the doc_id-shaped meta, not the payload
+    assert all(r["thumb_w"] == 8 and r["thumb_h"] == 8 for r in feats)
+    # deterministic: same payload+meta => identical features
+    again = mm.image_features(media, thumb=8).collect()
+    assert {(r["media_id"], r["mean_luma"]) for r in feats} == {
+        (r["media_id"], r["mean_luma"]) for r in again
+    }

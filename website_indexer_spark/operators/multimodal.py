@@ -227,6 +227,59 @@ def sample_frames(
     return media.mapInPandas(compute, FRAME_SAMPLE_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic media table derived from the `documents` testdata
+    (driver-gate input): payload = the text's UTF-8 bytes, meta shaped
+    from n_chars. Lets the binary-column plumbing run under the
+    DuckDB-oracle gate without shipping real media."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.lit(16) + (F.col("doc_id") % 4).cast("int") * 8).alias("width"),
+            (F.lit(16) + (F.col("doc_id") % 3).cast("int") * 8).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("fake-png").alias("format"),
+        ).alias("meta"),
+    )
+
+
+PAYLOAD_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """Opaque-payload audit pass (size + checksum) through the same
+    Arrow/mapInPandas channel the decoders use — the oracle-checkable
+    half of the media pipeline (md5/length are engine-portable)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "payload_md5": [
+                        hashlib.md5(p or b"").hexdigest() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        compute, PAYLOAD_STATS_SCHEMA
+    )
+
+
 def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic synthetic media table for tests/bench: payload
     bytes are hash-derived, kinds round-robin image/audio/video."""

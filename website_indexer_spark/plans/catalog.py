@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 from website_indexer_spark.functions import redact
 from website_indexer_spark.functions import textstats as ts
-from website_indexer_spark.operators import clusters, dedup, sampling, similarity
+from website_indexer_spark.operators import (
+    clusters,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+)
 from website_indexer_spark.operators.dims import dim_upsert_delta
 from website_indexer_spark.plans import queries as vq
 
@@ -407,6 +413,24 @@ def q_topk_terms(spark, sf):
     return redact.topk_terms(_t(spark, sf, "documents"), "doc_id", "text", 50)
 
 
+def q_media_meta(spark, sf):
+    """Binary media plumbing, oracle-checkable half: documents-derived
+    payloads audited (size + md5) through the same Arrow/mapInPandas
+    channel the decoders use (operators/multimodal.py)."""
+    media = multimodal.media_from_documents(_t(spark, sf, "documents"))
+    return multimodal.payload_stats(media)
+
+
+def q_media_features(spark, sf):  # no SQL mirror (fake decode is numpy-side)
+    """Full image-feature pass over documents-derived payloads with the
+    deterministic fake decoder: decode → luma stats → histogram →
+    thumbnail, one Arrow batch at a time."""
+    media = multimodal.media_from_documents(_t(spark, sf, "documents"))
+    return multimodal.image_features(media, thumb=8, decoder="fake").select(
+        "media_id", "mean_luma", "thumb_w", "thumb_h"
+    )
+
+
 def q_lang_id(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", ts.lang_id(F.col("text")).alias("pred_lang")
@@ -497,6 +521,8 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "topk_terms": q_topk_terms,
+    "media_meta": q_media_meta,
+    "media_features": q_media_features,
     "dimension_upsert": q_dimension_upsert,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -792,6 +818,14 @@ ORACLE_SQL: Dict[str, str] = {
           len(regexp_extract_all(props, '[0-9][0-9.]*')) AS n_number
         FROM events
     """,
+    "media_meta": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
+    # media_features: rows-only (the fake decoder's numpy RNG features
+    # have no SQL mirror; determinism pinned in tests/test_multimodal.py)
     "topk_terms": r"""
         WITH tok AS (
           SELECT doc_id AS doc,
