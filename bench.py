@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pii_scrub",
     "topk_terms",
+    "decontam_report",
+    "distinctive_terms",
 ]
 
 

@@ -28,6 +28,7 @@ from website_indexer_spark.functions import redact
 from website_indexer_spark.functions import textstats as ts
 from website_indexer_spark.operators import (
     clusters,
+    decontam,
     dedup,
     multimodal,
     sampling,
@@ -413,6 +414,29 @@ def q_topk_terms(spark, sf):
     return redact.topk_terms(_t(spark, sf, "documents"), "doc_id", "text", 50)
 
 
+def q_decontam_report(spark, sf):
+    """Benchmark decontamination (operators/decontam.py): odd docs are
+    the training corpus, even docs the benchmark; a corpus doc is
+    contaminated when it shares >=2 distinct trigrams with the
+    benchmark (benchmark-side stop-shingle DF cap on, same guard as
+    dedup_jaccard)."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    benchmark = docs.filter(F.col("doc_id") % 2 == 0)
+    return decontam.contamination_report(
+        corpus, benchmark, n=3, min_hits=2, max_shingle_df=25
+    )
+
+
+def q_distinctive_terms(spark, sf):
+    """Top-3 distinctive terms per document, tf/df-scored (linear-idf
+    TF-IDF variant; the single int division keeps the oracle
+    bit-identical)."""
+    return decontam.distinctive_terms(
+        _t(spark, sf, "documents"), k=3
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_media_meta(spark, sf):
     """Binary media plumbing, oracle-checkable half: documents-derived
     payloads audited (size + md5) through the same Arrow/mapInPandas
@@ -523,6 +547,8 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "topk_terms": q_topk_terms,
     "media_meta": q_media_meta,
     "media_features": q_media_features,
+    "decontam_report": q_decontam_report,
+    "distinctive_terms": q_distinctive_terms,
     "dimension_upsert": q_dimension_upsert,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -817,6 +843,61 @@ ORACLE_SQL: Dict[str, str] = {
             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS n_phone,
           len(regexp_extract_all(props, '[0-9][0-9.]*')) AS n_number
         FROM events
+    """,
+    "decontam_report": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+                     AS shingle
+            FROM toks WHERE len(t) >= 3
+          )
+        ), c AS (
+          SELECT doc_id AS c_doc, shingle FROM sh WHERE doc_id % 2 = 1
+        ), b0 AS (
+          SELECT doc_id AS b_doc, shingle FROM sh WHERE doc_id % 2 = 0
+        ), keep AS (
+          SELECT shingle FROM b0 GROUP BY shingle HAVING count(*) <= 25
+        ), b AS (
+          SELECT b0.b_doc, b0.shingle FROM b0 JOIN keep USING (shingle)
+        ), hits AS (
+          SELECT c.c_doc, b.b_doc, c.shingle FROM c JOIN b USING (shingle)
+        )
+        SELECT c_doc AS doc_id,
+               count(DISTINCT shingle) AS n_shared_ngrams,
+               count(DISTINCT b_doc) AS n_benchmark_docs
+        FROM hits GROUP BY c_doc
+        HAVING count(DISTINCT shingle) >= 2
+    """,
+    "distinctive_terms": r"""
+        WITH tok AS (
+          SELECT doc_id AS doc,
+                 unnest(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc, term, count(*) AS tf FROM tok GROUP BY doc, term
+        ), idf AS (
+          SELECT term, count(*) AS df
+          FROM (SELECT DISTINCT doc, term FROM tok) GROUP BY term
+        ), scored AS (
+          SELECT doc, tf.term, tf.tf, idf.df,
+                 CAST(tf.tf AS DOUBLE) / idf.df AS score
+          FROM tf JOIN idf USING (term)
+        )
+        SELECT doc AS doc_id, term, tf, df, rank FROM (
+          SELECT doc, term, tf, df,
+                 row_number() OVER (
+                   PARTITION BY doc ORDER BY score DESC, term ASC
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= 3
     """,
     "media_meta": """
         SELECT doc_id AS media_id,
