@@ -365,6 +365,7 @@ def run_crawl(
             # hits ∪ (url-only-scan misses) plan scales 2.9x on the
             # same corpus.
             fetched, step_persists = fetch_sim_join(web, selected, n_selected)
+            t = _mark("fetch-join-build", t)
             # status: missing row or NULL html with 200 => network error 0
             fetched = fetched.withColumn(
                 "eff_status",
@@ -490,8 +491,10 @@ def run_crawl(
                 ~F.col("from_redirect") | (F.col("host") == start_host)
             )
 
+            t = _mark("route-extract-build", t)
             accepted = accept_url_filter(candidates, start_host, policy)
             accepted = robots_filter(accepted, robots)
+            t = _mark("policy-build", t)
 
             # --- dedup: within delta, vs queued, vs seen (A3) ------------
             w_url = Window.partitionBy("url").orderBy("depth", "parent_seq", "parent_url")
@@ -548,6 +551,7 @@ def run_crawl(
                 bloom,
                 broadcast_frontier=est_accepted <= BROADCAST_FETCH_THRESHOLD,
             )
+            t = _mark("seen-antijoin-build", t)
 
             # --- deterministic discovery order (§4.2.4) ------------------
             # Small accepted deltas (the common case) take a single-task
@@ -658,8 +662,20 @@ def run_crawl(
                         ),
                     )
                 )
+            def _timed(label, fn):
+                w0 = time.time()
+                fn()
+                if verbose:
+                    print(
+                        f"    [crawl] step {k}   write[{label}]: "
+                        f"{time.time() - w0:.2f}s",
+                        flush=True,
+                    )
+
             with ThreadPoolExecutor(max_workers=len(writes)) as pool:
-                futures = [pool.submit(fn) for _label, fn in writes]
+                futures = [
+                    pool.submit(_timed, label, fn) for label, fn in writes
+                ]
                 for fut in futures:
                     fut.result()  # re-raises the first write failure
             for cached in seq_persists:  # numbering materialized by the write
