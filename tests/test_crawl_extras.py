@@ -216,3 +216,58 @@ def test_table_backend_seam(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         IcebergBackend(spark)
+
+
+def test_parse_robots_rules(spark):
+    """robots.txt bodies -> Disallow prefix table (agent groups,
+    comments, empty-disallow-allows-all, multi-agent runs)."""
+    from website_indexer_spark.operators.policy import (
+        parse_robots_rules,
+        robots_filter,
+    )
+
+    body_a = "\n".join(
+        [
+            "# global rules",
+            "User-agent: *",
+            "Disallow: /private/",
+            "Disallow: /tmp",
+            "",
+            "User-agent: evilbot",
+            "Disallow: /",
+        ]
+    )
+    body_b = "\n".join(
+        [
+            "User-agent: googlebot",
+            "User-agent: *",  # multi-agent run: both own the group
+            "Disallow: /search",
+            "Allow: /search/about",  # ignored (prefix-only semantics)
+            "",
+            "User-agent: otherbot",
+            "Disallow:",  # empty => allow all, no rule
+        ]
+    )
+    bodies = spark.createDataFrame(
+        [("a.test", body_a), ("b.test", body_b), ("c.test", None)],
+        ["host", "body"],
+    )
+    rules = parse_robots_rules(bodies)
+    got = {(r["host"], r["path_prefix"]) for r in rules.collect()}
+    assert got == {
+        ("a.test", "/private/"),
+        ("a.test", "/tmp"),
+        ("b.test", "/search"),
+    }
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.test/private/x", "a.test", "/private/x"),
+            ("https://a.test/public", "a.test", "/public"),
+            ("https://b.test/search?q=1", "b.test", "/search"),
+            ("https://c.test/anything", "c.test", "/anything"),
+        ],
+        ["url", "host", "url_path"],
+    )
+    kept = {r["url"] for r in robots_filter(frontier, rules).collect()}
+    assert kept == {"https://a.test/public", "https://c.test/anything"}

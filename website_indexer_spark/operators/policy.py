@@ -111,6 +111,79 @@ def accept_url_filter(
     return df
 
 
+def parse_robots_rules(
+    robots_bodies: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    agent: str = "*",
+) -> DataFrame:
+    """robots.txt bodies → the (host, path_prefix) Disallow table
+    `robots_filter` consumes, completing A12 for real-fetch mode.
+
+    Grammar handled (the de-facto standard subset wpull's gate obeys):
+    User-agent groups (rules apply to the LAST run of user-agent lines
+    before them; `*` matches any agent), Disallow path prefixes,
+    comments (#) and blank lines as group separators. Allow lines and
+    wildcards inside paths are ignored (prefix-only semantics —
+    conservative for a crawler: over-blocking is safe, under-blocking
+    is not). An empty Disallow means "allow all" per the spec and
+    produces no rule.
+
+    One Arrow-batched UDF pass (robots bodies are per-host — thousands
+    of short strings, never corpus-scale) then an explode; the output
+    is broadcast-sized by construction.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    want = agent.lower()
+
+    def parse_one(body) -> list:
+        if body is None:
+            return []
+        rules: list = []
+        group_agents: list = []
+        in_rules = False  # inside a group's rule lines
+        applies = False
+        for raw in str(body).splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip().lower(), val.strip()
+            if key == "user-agent":
+                if in_rules:  # a new group starts
+                    group_agents, in_rules = [], False
+                group_agents.append(val.lower())
+                applies = any(
+                    a == "*" or a == want or want.startswith(a)
+                    for a in group_agents
+                )
+            elif key == "disallow":
+                in_rules = True
+                if applies and val:
+                    rules.append(val)
+            elif key in ("allow", "crawl-delay", "sitemap"):
+                in_rules = True  # still terminates the agent run
+        return rules
+
+    # no annotations: module-level `from __future__ import annotations`
+    # stringifies hints, defeating pandas_udf's type-hint inference —
+    # the explicit returnType + default SCALAR eval type are enough
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def parse_udf(bodies):
+        return bodies.map(parse_one)
+
+    return (
+        robots_bodies.select(
+            F.col(host_col).alias("host"),
+            F.explode(parse_udf(F.col(body_col))).alias("path_prefix"),
+        )
+        .distinct()
+    )
+
+
 def robots_filter(frontier: DataFrame, robots: Optional[DataFrame]) -> DataFrame:
     """A12: optional robots gating — ``robots(host, path_prefix)`` is a
     small Disallow table; broadcast anti-join on host + prefix match.
