@@ -93,21 +93,40 @@ def connected_components(
     = the minimum node id in each connected component. Nodes that
     appear in no edge are absent (callers union singletons back in —
     see `assign_clusters`)."""
+    def _fingerprint(e: DataFrame):
+        """(row count, order-independent xor of edge hashes): one
+        narrow aggregate job — no shuffle beyond the partial-agg
+        exchange, no join. XOR cannot overflow, so it is safe at any
+        edge count."""
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+        ).collect()[0]
+        return row["n"], row["x"]
+
     edges = (
         pairs.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    fp = _fingerprint(edges)
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(edges)).localCheckpoint()
-        # converged when the round changed nothing: both edge sets are
-        # distinct by construction, so two anti-joins decide equality
-        changed = (
+        # convergence = the round changed nothing. The exact test (two
+        # anti-joins) shuffles the full edge set twice per round — at
+        # 10^10 edges that doubles the round's cost — so a
+        # (count, xor-of-hashes) fingerprint screens first: rounds
+        # that changed anything almost surely differ in fingerprint
+        # and pay only one aggregate; only a fingerprint MATCH runs
+        # the exact equality check (both sets are distinct by
+        # construction, so one anti-join each way decides it).
+        nfp = _fingerprint(nxt)
+        changed = nfp != fp or (
             not nxt.join(edges, ["u", "v"], "left_anti").isEmpty()
             or not edges.join(nxt, ["u", "v"], "left_anti").isEmpty()
         )
-        edges = nxt
+        edges, fp = nxt, nfp
         if not changed:
             break
     # at convergence every edge is (node, component-min): u > v and v
