@@ -1,0 +1,118 @@
+"""Hypothesis property tests over the pure kernel functions — the
+paths every crawled byte flows through. No SparkSession needed: these
+pin the Python functions the Arrow UDFs wrap, under adversarial
+inputs pytest examples would never enumerate."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from website_indexer_spark.functions.extract import extract_page_fields
+from website_indexer_spark.functions.textstats import winnow_fingerprints
+from website_indexer_spark.functions.urltools import (
+    canonicalize_url,
+    hostname_with_port,
+    unwrap_external_site,
+)
+
+# ------------------------------------------------------------------ #
+# canonicalize_url
+# ------------------------------------------------------------------ #
+
+_url_text = st.text(
+    alphabet=string.ascii_letters + string.digits + ":/?#[]@!$&'()*+,;=.%~- ",
+    max_size=120,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_url_text)
+def test_canonicalize_total_and_idempotent(href):
+    """Never raises; a canonical URL re-canonicalizes to itself
+    (idempotence is what makes the url-hash seen-set stable)."""
+    out = canonicalize_url(href)
+    if out is not None:
+        assert out.startswith(("http://", "https://"))
+        assert "#" not in out  # fragments stripped
+        assert canonicalize_url(out) == out
+
+
+@settings(max_examples=200, deadline=None)
+@given(_url_text, st.sampled_from(["https://h.test/a/b", "http://x.test/"]))
+def test_canonicalize_with_base_total(href, base):
+    out = canonicalize_url(href, base)
+    if out is not None:
+        assert out.startswith(("http://", "https://"))
+        assert canonicalize_url(out) == out
+        assert hostname_with_port(out) is not None
+
+
+@settings(max_examples=200, deadline=None)
+@given(_url_text)
+def test_unwrap_external_site_total(href):
+    canon = canonicalize_url(href)
+    if canon is not None:
+        out = unwrap_external_site(canon, "h.test")
+        assert isinstance(out, str)
+        # unwrapping is idempotent too: no nested re-unwrap surprises
+        assert unwrap_external_site(out, "h.test") == out
+
+
+# ------------------------------------------------------------------ #
+# extraction kernel
+# ------------------------------------------------------------------ #
+
+_html_soup = st.text(max_size=400)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_html_soup)
+def test_extract_never_raises_on_arbitrary_text(soup):
+    # None = the reference's no-title drop (models.py:125-126); any
+    # other result obeys the link-sort + whitespace-collapse contracts
+    fields = extract_page_fields(soup, "h.test")
+    if fields is None:
+        return
+    assert fields.links == sorted(set(fields.links))
+    if fields.text is not None:
+        assert "  " not in fields.text
+        assert fields.text == fields.text.strip()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 60), st.text(string.ascii_lowercase + " ", max_size=40))
+def test_extract_survives_deep_nesting(depth, body):
+    soup = "<div>" * depth + body + "</div>" * depth
+    extract_page_fields(f"<title>t</title>{soup}", "h.test")
+
+
+# ------------------------------------------------------------------ #
+# winnowing
+# ------------------------------------------------------------------ #
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(string.ascii_lowercase + " ", max_size=300))
+def test_winnow_subset_and_determinism(text):
+    fp = winnow_fingerprints(text)
+    assert fp == winnow_fingerprints(text)  # deterministic
+    assert fp == sorted(set(fp))  # unique + sorted contract
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.text(string.ascii_lowercase, min_size=10, max_size=80),
+    st.text(string.ascii_lowercase, min_size=10, max_size=80),
+)
+def test_winnow_shared_prefix_shares_fingerprints(a, b):
+    """Documents sharing a long common prefix share at least one
+    fingerprint (the local-window guarantee winnowing exists for),
+    provided the prefix spans a full window of k-grams."""
+    from website_indexer_spark.functions.textstats import FP_K, FP_W
+
+    prefix = "commonsharedprefix" * 3  # >> k + w
+    fa = set(winnow_fingerprints(prefix + a))
+    fb = set(winnow_fingerprints(prefix + b))
+    n_kgrams = len(prefix) - FP_K + 1
+    if n_kgrams >= FP_W:
+        assert fa & fb
