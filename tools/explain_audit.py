@@ -90,6 +90,26 @@ CHECKS = {
         ("global top-k via TakeOrdered, no full sort materialized",
          lambda p: "TakeOrderedAndProject" in p),
     ],
+    "decontam_report": [
+        ("shingle join is an equi hash join (never a cross product)",
+         lambda p: "Join" in p and "Cartesian" not in p
+         and "NestedLoop" not in p),
+        ("map-side partial aggregation before each shuffle",
+         lambda p: "partial" in p.lower()),
+    ],
+    "distinctive_terms": [
+        ("per-doc rank-limit pushed below the window shuffle",
+         lambda p: "WindowGroupLimit" in p),
+        ("term df join is an equi hash join",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+    ],
+    "media_meta": [
+        ("payload audit is a narrow mapInPandas pipeline: no exchange",
+         lambda p: "Exchange" not in p),
+        ("column pruning: only media_id+payload inputs survive to the "
+         "Python runner",
+         lambda p: "ArrowEvalPython" in p or "MapInPandas" in p),
+    ],
 }
 
 
