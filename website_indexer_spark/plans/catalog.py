@@ -414,6 +414,41 @@ def q_topk_terms(spark, sf):
     return redact.topk_terms(_t(spark, sf, "documents"), "doc_id", "text", 50)
 
 
+def q_pretrain_pipeline(spark, sf):
+    """The composed pre-training data pipeline — every stage is an
+    engine operator, fused by Catalyst into ONE plan:
+
+      corpus split (eval slice held out) → quality gate (token count)
+      → language gate (lang_id == en) → exact dedup (keep min doc per
+      md5) → decontaminate vs the eval slice (>=20 shared trigrams,
+      benchmark-side DF cap) → deterministic 50% hash sample.
+
+    This is the flagship composition proof: the same operators the
+    individual gates verify, chained end-to-end and still
+    hash-matched against one DuckDB query.
+    """
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 10 == 0)
+    q = corpus.select(
+        "doc_id",
+        "source",
+        "text",
+        ts.whitespace_token_count(F.col("text")).alias("n_tokens"),
+        ts.lang_id(F.col("text")).alias("pred_lang"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("pred_lang") == "en"))
+    keep = q.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = q.join(keep.select("doc_id"), "doc_id", "left_semi")
+    clean = decontam.decontaminate(
+        dd, benchmark, n=3, min_hits=20, max_shingle_df=25
+    )
+    return sampling.hash_sample(clean, "doc_id", 0.5).select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
 def q_decontam_report(spark, sf):
     """Benchmark decontamination (operators/decontam.py): odd docs are
     the training corpus, even docs the benchmark; a corpus doc is
@@ -549,6 +584,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "media_features": q_media_features,
     "decontam_report": q_decontam_report,
     "distinctive_terms": q_distinctive_terms,
+    "pretrain_pipeline": q_pretrain_pipeline,
     "dimension_upsert": q_dimension_upsert,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -844,6 +880,7 @@ ORACLE_SQL: Dict[str, str] = {
           len(regexp_extract_all(props, '[0-9][0-9.]*')) AS n_number
         FROM events
     """,
+    # pretrain_pipeline is assembled below (_pretrain_pipeline_sql)
     "decontam_report": """
         WITH toks AS (
           SELECT doc_id,
@@ -978,3 +1015,56 @@ ORACLE_SQL: Dict[str, str] = {
     # no faithful SQL mirror -> rows-only driver check; their exact
     # semantics are pinned by tests/test_dedup.py & test_similarity.py.
 }
+
+
+def _pretrain_pipeline_sql() -> str:
+    """One DuckDB query mirroring the full composed pipeline
+    (q_pretrain_pipeline): eval-slice holdout → token-count gate →
+    lang_id gate → md5 exact dedup → >=20-shared-trigram decontam
+    (benchmark DF cap 25) → 50% hash sample."""
+    return f"""
+WITH lang AS ({_lang_id_sql()}),
+base AS (
+  SELECT d.doc_id, d.source, d.text,
+         len(list_filter(string_split(trim(d.text), ' '), x -> x <> ''))
+           AS n_tokens,
+         l.pred_lang
+  FROM documents d JOIN lang l USING (doc_id)
+  WHERE d.doc_id % 10 <> 0
+), q AS (
+  SELECT * FROM base WHERE n_tokens >= 20 AND pred_lang = 'en'
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+), dd AS (
+  SELECT q.* FROM q JOIN keep USING (doc_id)
+), toks AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
+    FROM toks WHERE len(t) >= 3
+  )
+), bsh0 AS (
+  SELECT doc_id AS b_doc, shingle FROM sh WHERE doc_id % 10 = 0
+), bkeep AS (
+  SELECT shingle FROM bsh0 GROUP BY shingle HAVING count(*) <= 25
+), bsh AS (
+  SELECT b_doc, bsh0.shingle FROM bsh0 JOIN bkeep USING (shingle)
+), csh AS (
+  SELECT dd.doc_id AS c_doc, sh.shingle FROM sh JOIN dd USING (doc_id)
+), bad AS (
+  SELECT c_doc FROM (
+    SELECT c_doc, count(DISTINCT shingle) AS n
+    FROM csh JOIN bsh USING (shingle) GROUP BY c_doc
+  ) WHERE n >= 20
+)
+SELECT doc_id, source, n_tokens FROM dd
+WHERE doc_id NOT IN (SELECT c_doc FROM bad)
+  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+"""
+
+
+ORACLE_SQL["pretrain_pipeline"] = _pretrain_pipeline_sql()
