@@ -28,7 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     documents -> quality columns -> language ID -> substring search,
     aggregated per (pred_lang, source): the text-pipeline core in one
-    plan (scan -> native projections -> partial agg, no UDF).
+    plan (scan -> native projections -> partial agg, no UDF). The
+    fuller composition (dedup + decontam + sampling chained into one
+    hash-matched plan) is the `pretrain_pipeline` catalog gate.
     """
     from pyspark.sql import functions as F
 

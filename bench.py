@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "topk_terms",
     "decontam_report",
     "distinctive_terms",
+    "pretrain_pipeline",
 ]
 
 
