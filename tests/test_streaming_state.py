@@ -182,3 +182,34 @@ def test_host_budget_ledger_accumulates(spark, tmp_path):
     assert finals["a.test"]["over_budget"] is True
     assert finals["b.test"]["total_requests"] == 3
     assert finals["b.test"]["over_budget"] is False
+
+
+def test_first_seen_stream_dedups_across_batches(spark, tmp_path):
+    """Streaming seen-set (A3's twin): a URL emitted in batch 0 must
+    be swallowed when it reappears in batch 1; new URLs still emit."""
+    from website_indexer_spark.streaming.state import first_seen_stream
+
+    waves = [
+        [("u1",), ("u2",), ("u2",)],  # in-batch dupe too
+        [("u2",), ("u3",), ("u1",)],  # all but u3 already seen
+    ]
+    src = str(tmp_path / "urls")
+    _write_file_per_trigger(spark, waves, "url string", src, str(tmp_path))
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        first_seen_stream(stream, "url")
+        .writeStream.format("memory")
+        .queryName("seen_once")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT key FROM seen_once").collect()
+    keys = [r["key"] for r in rows]
+    assert sorted(keys) == ["u1", "u2", "u3"]  # each exactly once

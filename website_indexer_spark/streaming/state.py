@@ -31,6 +31,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -140,4 +141,49 @@ def host_rate_budget_stream(requests: DataFrame, budget: int) -> DataFrame:
     )
 
 
-__all__ = ["sessionize_stream", "host_rate_budget_stream"]
+DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("first_seen_batch", T.LongType()),
+    ]
+)
+
+_DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def first_seen_stream(keyed: DataFrame, key_col: str = "url") -> DataFrame:
+    """Streaming twin of the crawl's seen-set dedup (SURVEY §2 A3):
+    emit each key exactly once across the whole stream — the state
+    store holds one boolean per key, sharded by the grouping key, so
+    state scales horizontally with executors exactly like the batch
+    seen table scales with partitions. Re-observations in any later
+    micro-batch are swallowed.
+
+    Emits (key, first_seen_batch) where the batch index is a
+    monotonically increasing per-key state-store insertion marker
+    (0 for keys first seen ever)."""
+
+    def keep_new(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        # drain the iterator: Spark requires consuming input even when
+        # the key is already seen
+        n = sum(len(p) for p in pdfs)
+        if state.exists or n == 0:
+            return
+        state.update((True,))
+        yield pd.DataFrame([(k, 0)], columns=["key", "first_seen_batch"])
+
+    return keyed.select(F.col(key_col).alias("key")).groupBy("key").applyInPandasWithState(
+        keep_new,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = ["sessionize_stream", "host_rate_budget_stream", "first_seen_stream"]
