@@ -93,6 +93,13 @@ def main() -> None:  # pragma: no cover - CLI veneer
     c = sub.add_parser("clean")
     c.add_argument("--keep", type=int, default=10)
     c.add_argument("--dry-run", action="store_true")
+    k = sub.add_parser(
+        "compact",
+        help="rewrite one crawl's per-superstep delta files into one "
+        "coalesced superstep (file-count maintenance; offline, "
+        "crash-safe — the Iceberg rewrite_data_files analogue)",
+    )
+    k.add_argument("name")
     args = ap.parse_args()
 
     if args.cmd == "list":
@@ -109,6 +116,19 @@ def main() -> None:  # pragma: no cover - CLI veneer
         gone = clean_crawls(args.root, args.keep, args.dry_run)
         verb = "would delete" if args.dry_run else "deleted"
         print(f"{verb}: {', '.join(gone) if gone else '(nothing)'}")
+    elif args.cmd == "compact":
+        from website_indexer_spark.sources.tables import CrawlStore, build_spark
+
+        store_dir = os.path.join(args.root, args.name)
+        if _read_record(store_dir) is None:
+            print(f"no such crawl: {args.name}")
+            return
+        spark = build_spark(app_name="wi-compact")
+        for table, stats in CrawlStore(spark, store_dir).compact().items():
+            print(
+                f"{table}: {stats['files_before']} -> "
+                f"{stats['files_after']} files (supersteps <= {stats['upto']})"
+            )
 
 
 if __name__ == "__main__":  # pragma: no cover

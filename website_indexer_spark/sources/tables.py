@@ -238,6 +238,14 @@ class TableBackend:
     def clear(self) -> None:
         raise NotImplementedError
 
+    def compact_table(
+        self, name: str, schema: T.StructType, partition_by=None
+    ) -> Dict[str, int]:
+        """Rewrite a delta table's accumulated superstep files into one
+        coalesced superstep (file-count maintenance — the Iceberg
+        ``rewrite_data_files`` analogue). Returns before/after counts."""
+        raise NotImplementedError
+
 
 class IcebergBackend(TableBackend):
     """Honest stub for running CrawlStore on real Apache Iceberg
@@ -257,6 +265,9 @@ class IcebergBackend(TableBackend):
     * last_committed/rollback -> snapshot metadata + rollback_to
     * the dims MERGE delta (operators/dims.py) -> MERGE INTO
       crawl.dims USING delta ON kind,key WHEN NOT MATCHED THEN INSERT
+    * compact_table -> CALL crawl.system.rewrite_data_files(
+      table => 'crawl.<name>', options => map('target-file-size-bytes', ...))
+      followed by expire_snapshots / remove_orphan_files
     """
 
     def __init__(self, spark: SparkSession, catalog: str = "crawl"):
@@ -349,17 +360,101 @@ class ParquetManifestBackend(TableBackend):
         os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
 
     def rollback_uncommitted(self) -> None:
-        """Drop superstep dirs newer than the last committed manifest."""
+        """Drop superstep dirs newer than the last committed manifest;
+        also finish/abort any compaction a crash interrupted."""
         last = self.last_committed()
         for name in DELTA_TABLES + SNAPSHOT_TABLES:
             tdir = os.path.join(self.root, name)
             if not os.path.isdir(tdir):
                 continue
+            self.recover_compaction(name)
             for entry in os.listdir(tdir):
                 if entry.startswith("superstep="):
                     step = int(entry.split("=", 1)[1])
                     if step > last:
                         shutil.rmtree(os.path.join(tdir, entry))
+
+    # --- compaction (rewrite_data_files analogue) -------------------
+    def _compaction_dirs(self, name: str):
+        tdir = os.path.join(self.root, name)
+        return (
+            tdir,
+            os.path.join(tdir, ".compacting"),
+            os.path.join(tdir, ".compacted_ready"),
+        )
+
+    def _table_files(self, name: str) -> int:
+        tdir = os.path.join(self.root, name)
+        n = 0
+        for dirpath, _dirs, files in os.walk(tdir):
+            if ".compact" in dirpath:
+                continue
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    def recover_compaction(self, name: str) -> None:
+        """Finish or abort a compaction interrupted by a crash:
+        a ``.compacted_ready`` dir is a committed rewrite (its
+        _COMPACTION.json names the covered supersteps) — finish the
+        swap; a bare ``.compacting`` dir is an incomplete write —
+        drop it. Mirrors rollback_uncommitted's marker discipline."""
+        tdir, tmp, ready = self._compaction_dirs(name)
+        if os.path.isdir(ready):
+            with open(os.path.join(ready, "_COMPACTION.json")) as f:
+                upto = json.load(f)["upto"]
+            self._finish_compaction(name, upto)
+        elif os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+
+    def _finish_compaction(self, name: str, upto: int) -> None:
+        tdir, _tmp, ready = self._compaction_dirs(name)
+        for entry in os.listdir(tdir):
+            if entry.startswith("superstep="):
+                step = int(entry.split("=", 1)[1])
+                if step <= upto:
+                    shutil.rmtree(os.path.join(tdir, entry))
+        marker = os.path.join(ready, "_COMPACTION.json")
+        if os.path.exists(marker):
+            os.remove(marker)
+        os.rename(ready, os.path.join(tdir, f"superstep={upto}"))
+
+    def compact_table(
+        self, name: str, schema: T.StructType, partition_by=None
+    ) -> Dict[str, int]:
+        """Merge all committed superstep deltas of `name` into one
+        rewritten ``superstep=<last>`` directory. A crawl writes one
+        delta dir per superstep, so a 10^5-superstep run accumulates
+        10^5 directories — the classic small-file problem; this is the
+        offline maintenance pass (Iceberg rewrite_data_files) that
+        keeps scan planning O(files-after), run between crawls like
+        `manage clean`. Crash-safe: the rewritten data lands in a
+        ``.compacted_ready`` dir (the commit marker) before any old
+        delta is deleted; `recover_compaction` finishes a torn swap."""
+        upto = self.last_committed()
+        self.recover_compaction(name)
+        tdir, tmp, ready = self._compaction_dirs(name)
+        if upto < 0 or not os.path.isdir(tdir):
+            return {"files_before": 0, "files_after": 0, "upto": upto}
+        files_before = self._table_files(name)
+        merged = self.read_table(name, schema)
+        # one output file per partition value (or one total): delta
+        # tables are narrow; at deployment scale use Iceberg's
+        # target-file-size option instead of coalesce(1)
+        writer = merged.coalesce(1).write.mode("overwrite")
+        if partition_by:
+            writer = merged.repartition(*partition_by).write.mode(
+                "overwrite"
+            ).partitionBy(*partition_by)
+        writer.parquet(tmp)
+        with open(os.path.join(tmp, "_COMPACTION.json"), "w") as f:
+            json.dump({"upto": upto}, f)
+        os.rename(tmp, ready)  # the commit point
+        self._finish_compaction(name, upto)
+        return {
+            "files_before": files_before,
+            "files_after": self._table_files(name),
+            "upto": upto,
+        }
 
     # --- reads ----------------------------------------------------
     def read_table(self, name: str, schema: T.StructType) -> DataFrame:
@@ -460,6 +555,24 @@ class CrawlStore:
 
     def read_frontier(self, superstep: int) -> DataFrame:
         return self.backend.read_snapshot("frontier", superstep, FRONTIER_SCHEMA)
+
+    def compact(self, tables=None) -> Dict[str, Dict[str, int]]:
+        """File-count maintenance over the delta tables (one delta dir
+        per superstep accumulates into the small-file problem at
+        10^5-superstep scale). Offline op — run between crawls, like
+        `manage clean`. Returns per-table before/after file counts."""
+        results: Dict[str, Dict[str, int]] = {}
+        for name in tables or DELTA_TABLES:
+            if name == "routed":
+                schema, pb = ROUTED_SCHEMA, ["record_type"]
+            elif name == "dims":
+                schema, pb = _DELTA_SCHEMAS[name], ["kind"]
+            else:
+                schema, pb = _DELTA_SCHEMAS[name], None
+            results[name] = self.backend.compact_table(
+                name, schema, partition_by=pb
+            )
+        return results
 
     # --- crawl record (models.py:19-52 analogue) -------------------
     def write_crawl_record(self, record: dict) -> None:
