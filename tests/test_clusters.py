@@ -108,3 +108,20 @@ def test_empty_pairs(spark):
         for r in assign_clusters(docs, pairs).collect()
     }
     assert got == {i: i for i in range(4)}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """Exiting via max_rounds without a fixed point must fail loudly
+    (ADVICE r2): a path graph needs several star-contraction rounds,
+    so max_rounds=1 cannot converge."""
+    import pytest
+    from website_indexer_spark.operators.clusters import connected_components
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path_edges, max_rounds=1).collect()
+    # and an empty edge list converges trivially (no raise, no rows)
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty, max_rounds=1).count() == 0

@@ -127,3 +127,48 @@ def test_viewer_queries_after_compaction(spark, tmp_path):
         tuple(r) for r in vq.component_list(store.read_all("pages")).collect()
     }
     assert comps_after == comps_before
+
+
+def test_compaction_crash_recovery_markerless_ready(spark, tmp_path):
+    """Legacy crash shape: a .compacted_ready dir WITHOUT its
+    _COMPACTION.json (pre-fix _finish_compaction deleted the marker
+    before the swap). recover_compaction must fall back to
+    upto=last_committed() instead of raising, and the rows survive."""
+    res = _crawl(spark, tmp_path)
+    store = res.store
+    backend = store.backend
+    want = _rows(store, "seen")
+
+    tdir, tmp, ready = backend._compaction_dirs("seen")
+    merged = store.read_all("seen")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, ready)  # NO marker inside
+    backend.recover_compaction("seen")
+    assert not os.path.isdir(ready)
+    assert _rows(store, "seen") == want
+    # resume path must not be wedged either
+    backend.rollback_uncommitted()
+    assert _rows(store, "seen") == want
+
+
+def test_compaction_crash_recovery_stray_marker(spark, tmp_path):
+    """Crash between the dest rename and the marker delete leaves a
+    stray _COMPACTION.json inside the committed superstep dir: reads
+    must be unaffected and recover must clean it."""
+    res = _crawl(spark, tmp_path)
+    store = res.store
+    backend = store.backend
+    want = _rows(store, "seen")
+
+    stats = store.compact()
+    upto = stats["seen"]["upto"]
+    stray = os.path.join(
+        store.root, "seen", f"superstep={upto}", "_COMPACTION.json"
+    )
+    with open(stray, "w") as f:
+        json.dump({"upto": upto}, f)
+    # _-prefixed files are invisible to the parquet reader
+    assert _rows(store, "seen") == want
+    backend.recover_compaction("seen")
+    assert not os.path.exists(stray)
+    assert _rows(store, "seen") == want

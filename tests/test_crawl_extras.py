@@ -271,3 +271,29 @@ def test_parse_robots_rules(spark):
     )
     kept = {r["url"] for r in robots_filter(frontier, rules).collect()}
     assert kept == {"https://a.test/public", "https://c.test/anything"}
+
+
+def test_robots_sitemap_does_not_split_groups():
+    """RFC 9309 §2.2.4: Sitemap is a non-group directive — it must not
+    terminate a user-agent run. 'UA: a / Sitemap: x / UA: b /
+    Disallow: /p' gives BOTH a and b the /p rule (ADVICE r2)."""
+    from website_indexer_spark.operators.policy import parse_robots_body
+
+    body = (
+        "User-agent: abot\n"
+        "Sitemap: https://h.test/sitemap.xml\n"
+        "User-agent: bbot\n"
+        "Disallow: /p\n"
+    )
+    assert parse_robots_body(body, "abot") == ["/p"]
+    assert parse_robots_body(body, "bbot") == ["/p"]
+    # a sitemap AFTER rules still doesn't leak rules to a later group
+    body2 = (
+        "User-agent: abot\n"
+        "Disallow: /a\n"
+        "Sitemap: https://h.test/sitemap.xml\n"
+        "User-agent: bbot\n"
+        "Disallow: /b\n"
+    )
+    assert parse_robots_body(body2, "abot") == ["/a"]
+    assert parse_robots_body(body2, "bbot") == ["/b"]

@@ -213,3 +213,30 @@ def test_first_seen_stream_dedups_across_batches(spark, tmp_path):
     rows = spark.sql("SELECT key FROM seen_once").collect()
     keys = [r["key"] for r in rows]
     assert sorted(keys) == ["u1", "u2", "u3"]  # each exactly once
+
+
+def test_stream_sessions_tolerate_late_events(spark, tmp_path):
+    """A late event (ts < state.last_ts) arriving in a later
+    micro-batch must fold into the open session — never regress
+    last_ts, never open a negative-gap phantom session (ADVICE r2)."""
+    base = datetime.datetime(2026, 1, 1)
+    m = datetime.timedelta(minutes=1)
+    ev = lambda eid, minutes: (eid, base + minutes * m, 9, 1.0)  # noqa: E731
+    waves = [
+        [ev(0, 0), ev(1, 10)],          # open session [0, 10]
+        [ev(2, 5), ev(3, 100)],         # late t=5 folds in; t=100 closes it
+        [ev(4, 95), ev(5, 200)],        # late t=95 extends start back; t=200 closes
+    ]
+    src = str(tmp_path / "events")
+    _write_file_per_trigger(spark, waves, EVENTS_SCHEMA, src, str(tmp_path))
+    got = _run_sessions(
+        spark, src, "sess_late", str(tmp_path / "ckpt"), max_files=1
+    )
+    keys = sorted(
+        (r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in got
+    )
+    assert keys == [
+        (base + 0 * m, base + 10 * m, 3, 3.0),    # includes the late t=5
+        (base + 95 * m, base + 100 * m, 2, 2.0),  # start extended back to 95
+    ]

@@ -111,7 +111,10 @@ def connected_components(
         .localCheckpoint()
     )
     fp = _fingerprint(edges)
+    changed = not edges.isEmpty()
     for _ in range(max_rounds):
+        if not changed:
+            break
         nxt = _small_star(_large_star(edges)).localCheckpoint()
         # convergence = the round changed nothing. The exact test (two
         # anti-joins) shuffles the full edge set twice per round — at
@@ -127,8 +130,17 @@ def connected_components(
             or not edges.join(nxt, ["u", "v"], "left_anti").isEmpty()
         )
         edges, fp = nxt, nfp
-        if not changed:
-            break
+    if changed:
+        # exiting via max_rounds without a fixed point means the final
+        # edges are NOT (node, component-min) stars — returning them
+        # silently would hand back wrong component ids. Star-contraction
+        # converges in O(log^2 n) rounds, so hitting this means
+        # max_rounds was set too low for the graph; fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds; raise max_rounds (alternating star-contraction needs "
+            "O(log^2 n) rounds in the component count)"
+        )
     # at convergence every edge is (node, component-min): u > v and v
     # is the min of u's component
     roots = edges.select(F.col("v").alias("node")).distinct()

@@ -140,8 +140,12 @@ def parse_robots_body(body: Optional[str], agent: str = "*") -> List[str]:
             in_rules = True
             if applies and val:
                 rules.append(val)
-        elif key in ("allow", "crawl-delay", "sitemap"):
+        elif key in ("allow", "crawl-delay"):
             in_rules = True  # still terminates the agent run
+        # RFC 9309 §2.2.4: sitemap (and other non-group directives) do
+        # NOT split adjacent user-agent groups — 'User-agent: a /
+        # Sitemap: x / User-agent: b / Disallow: /p' must give agent a
+        # the /p rule. Ignore such lines without closing the run.
     return rules
 
 

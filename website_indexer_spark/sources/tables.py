@@ -400,23 +400,51 @@ class ParquetManifestBackend(TableBackend):
         drop it. Mirrors rollback_uncommitted's marker discipline."""
         tdir, tmp, ready = self._compaction_dirs(name)
         if os.path.isdir(ready):
-            with open(os.path.join(ready, "_COMPACTION.json")) as f:
-                upto = json.load(f)["upto"]
+            marker = os.path.join(ready, "_COMPACTION.json")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    upto = json.load(f)["upto"]
+            else:
+                # marker-less ready dir (legacy crash shape): the old
+                # superstep dirs covered by the rewrite may already be
+                # gone, so the only safe target is the last committed
+                # manifest — the rewrite never covers uncommitted steps.
+                upto = self.last_committed()
             self._finish_compaction(name, upto)
         elif os.path.isdir(tmp):
             shutil.rmtree(tmp)
+        else:
+            # a crash between the dest rename and the marker delete
+            # leaves a stray _COMPACTION.json inside the final
+            # superstep dir; Spark ignores _-prefixed files, but clean
+            # it so the invariant "no markers outside .compacted_ready"
+            # holds for the next compaction.
+            if os.path.isdir(tdir):
+                for entry in os.listdir(tdir):
+                    if entry.startswith("superstep="):
+                        stray = os.path.join(tdir, entry, "_COMPACTION.json")
+                        if os.path.exists(stray):
+                            os.remove(stray)
 
     def _finish_compaction(self, name: str, upto: int) -> None:
+        # Order matters for crash safety: rename the ready dir into
+        # place FIRST (marker still inside — Spark ignores _-prefixed
+        # files in parquet dirs), delete the marker LAST. A crash at
+        # any point leaves either a marker-bearing .compacted_ready
+        # (recover re-runs this) or a committed superstep dir with at
+        # worst a stray marker (recover cleans it) — never a
+        # marker-less ready dir with the old deltas already deleted.
         tdir, _tmp, ready = self._compaction_dirs(name)
         for entry in os.listdir(tdir):
             if entry.startswith("superstep="):
                 step = int(entry.split("=", 1)[1])
                 if step <= upto:
                     shutil.rmtree(os.path.join(tdir, entry))
-        marker = os.path.join(ready, "_COMPACTION.json")
+        dest = os.path.join(tdir, f"superstep={upto}")
+        os.rename(ready, dest)  # the swap point
+        marker = os.path.join(dest, "_COMPACTION.json")
         if os.path.exists(marker):
             os.remove(marker)
-        os.rename(ready, os.path.join(tdir, f"superstep={upto}"))
 
     def compact_table(
         self, name: str, schema: T.StructType, partition_by=None

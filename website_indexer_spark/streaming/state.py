@@ -78,12 +78,23 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             n_events, total_value = 0, 0.0
         closed = []
         for ts, value in zip(rows["ts"], rows["value"]):
-            if last_ts is not None and ts - last_ts > gap:
+            if last_ts is not None and ts > last_ts and ts - last_ts > gap:
                 closed.append((user_id, start, last_ts, n_events, total_value))
                 start, n_events, total_value = ts, 0, 0.0
-            if start is None:
+            if start is None or ts < start:
+                # a late event (ts <= state.last_ts, possible across
+                # micro-batches without a watermark) folds into the open
+                # session, extending it backward if needed — it must
+                # never regress last_ts or open a spurious negative-gap
+                # session, which would corrupt the state and break batch
+                # parity. Within-gap late data thus matches the batch
+                # sessionizer (which sorts globally); late data older
+                # than the open session's start is best-effort merged
+                # (enforce ordering upstream with withWatermark for
+                # exact parity under arbitrary lateness).
                 start = ts
-            last_ts = ts
+            if last_ts is None or ts > last_ts:
+                last_ts = ts
             n_events += 1
             total_value += float(value) if value is not None else 0.0
         state.update((start, last_ts, n_events, total_value))
