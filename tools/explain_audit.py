@@ -161,6 +161,54 @@ def crawl_operator_plans(spark, work_dir: str):
         ],
     )
 
+    # the ABOVE-broadcast-threshold seen path: storage-partitioned
+    # anti-join against the hash-bucketed seen layout. The seen table
+    # must not appear in the Spark plan at all — probe tasks point-read
+    # their bucket's files executor-side; the only exchange is the
+    # probe's repartition by bucket.
+    from website_indexer_spark.operators.frontier import (
+        anti_join_seen_bucketed,
+    )
+    from website_indexer_spark.sources.tables import (
+        SEEN_BUCKETS,
+        ParquetManifestBackend,
+    )
+
+    backend = ParquetManifestBackend(spark, os.path.join(work_dir, "bstore"))
+    big.select(
+        "url_hash", "url",
+        F.pmod(F.col("url_hash"), F.lit(SEEN_BUCKETS)).alias("bucket"),
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(work_dir, "bstore", "seen", "superstep=0")
+    )
+    backend.commit(0, {})
+    wave_delta = spark.range(0, 1000).select(
+        F.xxhash64(F.concat(F.lit("https://h.test/q"), F.col("id"))).alias(
+            "url_hash"
+        )
+    )
+    plans["crawl_seen_anti_join_bucketed"] = (
+        anti_join_seen_bucketed(
+            wave, backend.bucketed_files("seen"), SEEN_BUCKETS,
+            extra_exclude=wave_delta,
+        ),
+        [
+            ("seen table absent from the plan (no scan node reads "
+             "bstore/seen): probe tasks point-read their bucket's "
+             "files executor-side",
+             lambda p: "bstore" not in p),
+            ("exactly one hash exchange — the probe side's repartition "
+             "by pmod(url_hash, buckets); the seen side is never "
+             "exchanged",
+             lambda p: p.count("Arguments: hashpartitioning") == 1
+             and "pmod" in p),
+            ("wave's uncommitted delta excluded via broadcast LeftAnti",
+             lambda p: "BroadcastExchange" in p and "LeftAnti" in p),
+            ("probe is an Arrow-batched MapInPandas",
+             lambda p: "MapInPandas" in p),
+        ],
+    )
+
     # the fetch join's hits ∪ misses synthesis (plans/crawl.py A13).
     # Tiny waves: the wave's URL list is pushed into the lookup scan
     # as an IN predicate (point lookup — parquet row-group skipping).

@@ -65,8 +65,11 @@ def exclude_keys(
     sequential scan and zero exchanges.
 
     broadcast_df=False (huge-delta fallback): a plain shuffled
-    left_anti on ``key`` — on a real deployment this is a
-    storage-partitioned join against the key-bucketed table.
+    left_anti on ``key``. The crawl does NOT use this for the seen
+    set above the broadcast threshold — it uses the genuinely
+    storage-partitioned ``exclude_keys_bucketed`` against the
+    key-bucketed seen layout instead; this fallback remains for
+    callers without a bucketed table (dims MERGE's huge-wave path).
     """
     if broadcast_df:
         hits = exclude.select(key).join(
@@ -74,6 +77,142 @@ def exclude_keys(
         )
         return df.join(F.broadcast(hits), key, "left_anti")
     return df.join(exclude.select(key), key, "left_anti")
+
+
+# --------------------------------------------------------------------
+# Storage-partitioned anti-join (the non-broadcast scale path)
+# --------------------------------------------------------------------
+
+# per-executor-worker cache of (sorted) hash columns read from seen
+# bucket files. Keyed by path; entries validated by (mtime, size) —
+# delta files are immutable once written, so this only evicts when
+# compaction rewrites a path.
+_HASHFILE_CACHE: dict = {}
+
+
+def _load_sorted_hash_file(path: str, column: str) -> np.ndarray:
+    st = os.stat(path)
+    tag = (st.st_mtime_ns, st.st_size)
+    hit = _HASHFILE_CACHE.get(path)
+    if hit is not None and hit[0] == tag:
+        return hit[1]
+    import pyarrow.parquet as pq
+
+    arr = (
+        pq.read_table(path, columns=[column])[column]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    arr.sort()
+    _HASHFILE_CACHE[path] = (tag, arr)
+    return arr
+
+
+def exclude_keys_bucketed(
+    df: DataFrame,
+    bucket_files: dict,
+    n_buckets: int,
+    key: str = "url_hash",
+) -> DataFrame:
+    """Rows of ``df`` whose ``key`` is NOT present in a hash-bucketed
+    parquet layout (``bucket_files``: bucket id -> list of parquet
+    paths whose ``key`` column holds that bucket's committed keys,
+    bucket = pmod(key, n_buckets) — the layout ParquetManifestBackend
+    writes for the seen table and Iceberg's ``bucket(N, url_hash)``
+    partition transform writes at deployment).
+
+    This is the storage-partitioned join: the ONLY exchange in the
+    plan is the probe side's repartition by bucket — the seen table
+    never appears as a Spark scan at all. Each task point-reads just
+    the bucket files its rows map to (executor-side pyarrow against
+    shared storage, the same channel StripedBloom's probe uses), so
+    seen-side I/O is 1/n_buckets of the table per task and zero rows
+    of it ever cross the network. Exact, not probabilistic: membership
+    is tested against the full sorted hash column.
+
+    Memory: one task holds one bucket's hash column (~8 bytes/key —
+    10^10 seen keys at n_buckets=4096 is ~20 MB/task); scale n_buckets
+    with the table, it only changes the layout's fan-out.
+    """
+    files_by_bucket = {
+        int(b): tuple(paths) for b, paths in bucket_files.items()
+    }
+    nb = n_buckets
+
+    def drop_present(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        merged: dict = {}
+
+        def bucket_array(b: int) -> np.ndarray:
+            arr = merged.get(b)
+            if arr is None:
+                parts = [
+                    _load_sorted_hash_file(p, key)
+                    for p in files_by_bucket.get(b, ())
+                ]
+                if parts:
+                    arr = np.concatenate(parts)
+                    arr.sort()
+                else:
+                    arr = np.empty(0, dtype=np.int64)
+                merged[b] = arr
+            return arr
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hashes = pdf[key].to_numpy(dtype=np.int64)
+            buckets = _bucket_of(hashes, nb)
+            keep = np.ones(len(pdf), dtype=bool)
+            for b in np.unique(buckets):
+                arr = bucket_array(int(b))
+                if len(arr) == 0:
+                    continue
+                sel = buckets == b
+                sub = hashes[sel]
+                idx = np.minimum(
+                    np.searchsorted(arr, sub), len(arr) - 1
+                )
+                keep[sel] = arr[idx] != sub
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    # the one exchange: co-partition the probe side with the storage
+    # layout so each task touches ~1 bucket's files
+    part = df.repartition(nb, F.pmod(F.col(key), F.lit(nb)))
+    return part.mapInPandas(drop_present, df.schema)
+
+
+def anti_join_seen_bucketed(
+    frontier: DataFrame,
+    bucket_files: dict,
+    n_buckets: int,
+    extra_exclude: Optional[DataFrame] = None,
+    bloom: Optional["StripedBloom"] = None,
+    broadcast_extra: bool = True,
+) -> DataFrame:
+    """A3 dedup for accepted deltas ABOVE the broadcast threshold: the
+    committed seen history is excluded via the storage-partitioned
+    ``exclude_keys_bucketed`` (no seen-side scan or exchange), then the
+    current wave's not-yet-committed seen delta (``extra_exclude``,
+    wave-bounded) via a broadcast anti-join. Exact final seen set, same
+    result as ``anti_join_seen`` — only the physical strategy differs."""
+    f = frontier.withColumn("url_hash", URL_HASH(F.col("url")))
+    if bloom is not None:
+        maybe = bloom.probe_udf()
+        fast = f.filter(~maybe(F.col("url_hash")))
+        slow = exclude_keys_bucketed(
+            f.filter(maybe(F.col("url_hash"))), bucket_files, n_buckets
+        )
+        f = fast.unionByName(slow)
+    else:
+        f = exclude_keys_bucketed(f, bucket_files, n_buckets)
+    if extra_exclude is not None:
+        ex = extra_exclude.select("url_hash")
+        if broadcast_extra:
+            ex = F.broadcast(ex)
+        f = f.join(ex, "url_hash", "left_anti")
+    return f.drop("url_hash")
 
 
 def anti_join_seen(

@@ -76,6 +76,7 @@ from website_indexer_spark.operators.frontier import (
     URL_HASH,
     StripedBloom,
     anti_join_seen,
+    anti_join_seen_bucketed,
     assign_ordered_seq,
     politeness_select,
 )
@@ -87,6 +88,7 @@ from website_indexer_spark.operators.policy import (
 )
 from website_indexer_spark.sources.tables import (
     FRONTIER_SCHEMA,
+    SEEN_BUCKETS,
     CrawlStore,
     build_spark,
     load_web_pages,
@@ -545,12 +547,26 @@ def run_crawl(
                     bloom.update(delta_keys, n_keys=n_selected)
             else:
                 bloom = None
-            accepted = anti_join_seen(
-                accepted,
-                seen_now,
-                bloom,
-                broadcast_frontier=est_accepted <= BROADCAST_FETCH_THRESHOLD,
-            )
+            if est_accepted <= BROADCAST_FETCH_THRESHOLD:
+                accepted = anti_join_seen(
+                    accepted, seen_now, bloom, broadcast_frontier=True
+                )
+            else:
+                # above the broadcast threshold the delta's keys must
+                # not be broadcast — run the STORAGE-PARTITIONED
+                # anti-join against the hash-bucketed committed seen
+                # layout (each probe task point-reads only its bucket's
+                # files; the seen table is never scanned or exchanged),
+                # then exclude this wave's not-yet-committed seen delta
+                # (wave-bounded) via broadcast.
+                accepted = anti_join_seen_bucketed(
+                    accepted,
+                    store.seen_bucket_files(),
+                    SEEN_BUCKETS,
+                    extra_exclude=delta_keys,
+                    bloom=bloom,
+                    broadcast_extra=n_selected <= BROADCAST_FETCH_THRESHOLD,
+                )
             t = _mark("seen-antijoin-build", t)
 
             # --- deterministic discovery order (§4.2.4) ------------------
@@ -648,9 +664,23 @@ def run_crawl(
                         "routed", routed_delta, k, partition_by=["record_type"]
                     ),
                 ),
-                # seen deltas are narrow (hash+url): single file keeps
-                # the table's file count equal to the superstep count
-                ("seen", lambda: store.write_delta("seen", seen_delta.coalesce(1), k)),
+                # seen deltas are narrow (hash+url), written hash-
+                # bucketed (bucket=pmod(url_hash, SEEN_BUCKETS) dirs)
+                # so the storage-partitioned anti-join can point-read
+                # per bucket; one task writes all buckets, keeping the
+                # file count at SEEN_BUCKETS per superstep
+                (
+                    "seen",
+                    lambda: store.write_delta(
+                        "seen",
+                        seen_delta.withColumn(
+                            "bucket",
+                            F.pmod(F.col("url_hash"), F.lit(SEEN_BUCKETS)),
+                        ).coalesce(1),
+                        k,
+                        partition_by=["bucket"],
+                    ),
+                ),
                 ("frontier", lambda: store.write_delta("frontier", next_frontier, k)),
             ]
             if maintain_dims:

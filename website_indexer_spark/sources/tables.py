@@ -73,6 +73,17 @@ SEEN_SCHEMA = T.StructType(
     ]
 )
 
+# The seen table's physical layout is hash-bucketed by url_hash
+# (bucket = pmod(url_hash, SEEN_BUCKETS) as a partition dir under each
+# superstep delta) so the above-broadcast-threshold anti-join can run
+# storage-partitioned — each probe task point-reads exactly its
+# bucket's files, no seen-side scan or exchange (operators/frontier.py
+# exclude_keys_bucketed). Iceberg analogue: bucket(N, url_hash)
+# partition transform. 8 buckets keeps local file counts sane; a
+# deployment sizes this so one bucket's hash column fits a task
+# (~4096 buckets at 10^10 seen keys = ~20 MB/task).
+SEEN_BUCKETS = 8
+
 PAGES_SCHEMA = T.StructType(
     [
         T.StructField("crawl_id", T.LongType()),
@@ -239,11 +250,19 @@ class TableBackend:
         raise NotImplementedError
 
     def compact_table(
-        self, name: str, schema: T.StructType, partition_by=None
+        self, name: str, schema: T.StructType, partition_by=None, augment=None
     ) -> Dict[str, int]:
         """Rewrite a delta table's accumulated superstep files into one
         coalesced superstep (file-count maintenance — the Iceberg
-        ``rewrite_data_files`` analogue). Returns before/after counts."""
+        ``rewrite_data_files`` analogue). ``augment`` (df -> df)
+        recomputes derived partition columns (e.g. the seen table's
+        bucket) before the rewrite. Returns before/after counts."""
+        raise NotImplementedError
+
+    def bucketed_files(self, name: str) -> Dict[int, List[str]]:
+        """Committed parquet files of ``name`` grouped by their
+        ``bucket=B`` partition value — the storage-partitioned join's
+        unit of work (Iceberg: per-bucket data files from the manifest)."""
         raise NotImplementedError
 
 
@@ -446,8 +465,37 @@ class ParquetManifestBackend(TableBackend):
         if os.path.exists(marker):
             os.remove(marker)
 
+    def bucketed_files(self, name: str) -> Dict[int, List[str]]:
+        """Committed parquet files grouped by ``bucket=B`` dir value.
+        Driver-side listing of the committed superstep dirs (the
+        manifest-file analogue of Iceberg's per-bucket data-file list);
+        files under uncommitted supersteps are invisible, matching
+        read_table."""
+        tdir = os.path.join(self.root, name)
+        last = self.last_committed()
+        out: Dict[int, List[str]] = {}
+        if not os.path.isdir(tdir):
+            return out
+        for entry in sorted(os.listdir(tdir)):
+            if not entry.startswith("superstep="):
+                continue
+            if int(entry.split("=", 1)[1]) > last:
+                continue
+            base = os.path.join(tdir, entry)
+            for dirpath, _dirs, files in os.walk(base):
+                marker = os.path.basename(dirpath)
+                if not marker.startswith("bucket="):
+                    continue
+                b = int(marker.split("=", 1)[1])
+                for fname in files:
+                    if fname.endswith(".parquet"):
+                        out.setdefault(b, []).append(
+                            os.path.join(dirpath, fname)
+                        )
+        return out
+
     def compact_table(
-        self, name: str, schema: T.StructType, partition_by=None
+        self, name: str, schema: T.StructType, partition_by=None, augment=None
     ) -> Dict[str, int]:
         """Merge all committed superstep deltas of `name` into one
         rewritten ``superstep=<last>`` directory. A crawl writes one
@@ -465,6 +513,8 @@ class ParquetManifestBackend(TableBackend):
             return {"files_before": 0, "files_after": 0, "upto": upto}
         files_before = self._table_files(name)
         merged = self.read_table(name, schema)
+        if augment is not None:
+            merged = augment(merged)
         # one output file per partition value (or one total): delta
         # tables are narrow; at deployment scale use Iceberg's
         # target-file-size option instead of coalesce(1)
@@ -494,8 +544,12 @@ class ParquetManifestBackend(TableBackend):
         df = self.spark.read.schema(schema).option("basePath", tdir).parquet(
             tdir + "/superstep=*"
         )
-        # only committed supersteps are visible (partition-pruned scan)
-        return df.filter(F.col("superstep") <= self.last_committed()).drop("superstep")
+        # only committed supersteps are visible (partition-pruned scan);
+        # project to the logical schema — physical partition columns
+        # (superstep, the seen table's bucket) stay in the layout
+        return df.filter(F.col("superstep") <= self.last_committed()).select(
+            *[f.name for f in schema.fields]
+        )
 
     def read_snapshot(
         self, name: str, superstep: int, schema: T.StructType
@@ -530,6 +584,11 @@ class CrawlStore:
 
     def footer_counts(self, name: str, superstep: int) -> Dict[str, int]:
         return self.backend.footer_counts(name, superstep)
+
+    def seen_bucket_files(self) -> Dict[int, List[str]]:
+        """The committed seen table's files grouped by hash bucket —
+        the input of the storage-partitioned anti-join."""
+        return self.backend.bucketed_files("seen")
 
     def commit(self, superstep: int, counters: dict) -> None:
         self.backend.commit(superstep, counters)
@@ -591,14 +650,20 @@ class CrawlStore:
         `manage clean`. Returns per-table before/after file counts."""
         results: Dict[str, Dict[str, int]] = {}
         for name in tables or DELTA_TABLES:
+            augment = None
             if name == "routed":
                 schema, pb = ROUTED_SCHEMA, ["record_type"]
             elif name == "dims":
                 schema, pb = _DELTA_SCHEMAS[name], ["kind"]
             else:
-                schema, pb = _DELTA_SCHEMAS[name], None
+                # seen: preserve the hash-bucketed layout through the
+                # rewrite (bucket is derived, so recompute it)
+                schema, pb = _DELTA_SCHEMAS[name], ["bucket"]
+                augment = lambda df: df.withColumn(  # noqa: E731
+                    "bucket", F.pmod(F.col("url_hash"), F.lit(SEEN_BUCKETS))
+                )
             results[name] = self.backend.compact_table(
-                name, schema, partition_by=pb
+                name, schema, partition_by=pb, augment=augment
             )
         return results
 
