@@ -80,6 +80,13 @@ def local_server():
     class Handler(http.server.BaseHTTPRequestHandler):
         def _respond(self, body=True):
             seen["ua"] = self.headers.get("User-Agent")
+            if self.path == "/flaky/":
+                # first hit: abruptly dead socket (transient network
+                # error); healthy afterwards — the retry-parity fixture
+                seen["flaky_hits"] = seen.get("flaky_hits", 0) + 1
+                if seen["flaky_hits"] == 1:
+                    self.connection.close()
+                    return
             if self.path == "/slow/":
                 # slower than the (patched) connect timeout: only the
                 # two-phase read timeout keeps this alive
@@ -149,3 +156,79 @@ def test_urllib_fetch_two_phase_timeout(local_server, monkeypatch):
     # and a server slower than the READ timeout is a network error
     monkeypatch.setattr(Fx, "READ_TIMEOUT_S", 0.3)
     assert Fx.urllib_fetch(f"{base}/slow/", "GET")[0] == 0
+
+
+def test_fetch_with_retry_unit():
+    """Transient failures retry with linear backoff up to `tries`
+    total attempts (wpull/wget parity, VERDICT r2 #3); permanent
+    failure surfaces as ONE terminal status-0 result after exactly
+    `tries` attempts; successes and non-retryable statuses never
+    retry."""
+    calls = []
+    sleeps = []
+
+    def flaky_then_ok(url, method):
+        calls.append(url)
+        if len(calls) < 3:
+            return (0, None, None, None)
+        return (200, None, "text/html", b"ok")
+
+    got = Fx.fetch_with_retry(
+        flaky_then_ok, "u", "GET", tries=3, backoff_s=2.0,
+        sleep=sleeps.append,
+    )
+    assert got[0] == 200 and len(calls) == 3
+    assert sleeps == [2.0, 4.0]  # linear growth
+
+    calls.clear()
+    dead = lambda url, method: (0, None, None, None)  # noqa: E731
+    got = Fx.fetch_with_retry(
+        dead, "u", "GET", tries=4, backoff_s=0.0,
+        sleep=lambda s: calls.append("z"),
+    )
+    assert got[0] == 0 and len(calls) == 3  # tries-1 sleeps, then terminal
+
+    # non-retryable: 404 returns immediately
+    n = []
+    notfound = lambda url, method: (n.append(1), (404, None, None, None))[1]  # noqa: E731
+    assert Fx.fetch_with_retry(notfound, "u", "GET", tries=5, backoff_s=0)[0] == 404
+    assert len(n) == 1
+
+    # opt-in 5xx retry
+    m = []
+    flaky503 = lambda url, method: (  # noqa: E731
+        m.append(1),
+        (503, None, None, None) if len(m) == 1 else (200, None, "text/html", b"x"),
+    )[1]
+    got = Fx.fetch_with_retry(
+        flaky503, "u", "GET", tries=3, backoff_s=0,
+        retry_statuses=frozenset({503}), sleep=lambda s: None,
+    )
+    assert got[0] == 200 and len(m) == 2
+
+
+def test_real_fetch_retries_transient_loopback(spark, local_server):
+    """End-to-end through the Spark operator against a live loopback
+    server: a flaky-then-healthy URL yields a Page (not an Error), a
+    permanently dead port yields exactly one terminal status-0 row."""
+    base, seen = local_server
+    seen.pop("flaky_hits", None)
+    host = base.split("//", 1)[1]
+    rows = [
+        (f"{base}/flaky/", host, "GET"),
+        ("http://127.0.0.1:9/", "127.0.0.1:9", "GET"),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, fetch_method string")
+    got = {
+        r["url"]: r
+        for r in Fx.real_fetch(
+            df, wait_s=0, tries=3, backoff_s=0.05
+        ).collect()
+    }
+    flaky = got[f"{base}/flaky/"]
+    assert flaky["status_code"] == 200
+    assert bytes(flaky["html"]) == b"<html>ok</html>"
+    assert seen["flaky_hits"] == 2  # one transient failure + one retry
+    dead = got["http://127.0.0.1:9/"]
+    assert dead["status_code"] == 0  # ONE terminal error row
+    assert len([u for u in got if u == "http://127.0.0.1:9/"]) == 1

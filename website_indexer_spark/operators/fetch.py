@@ -42,6 +42,18 @@ CONNECT_TIMEOUT_S = 5.0  # --timeout dns/connect (crawler.py:38-39)
 READ_TIMEOUT_S = 30.0  # --timeout read/session (crawler.py:40-41)
 DEFAULT_WAIT_S = 0.5  # --wait (crawler.py:36)
 
+# wpull inherits wget's transient-retry loop and the reference's argv
+# (crawler.py:28-51) leaves --tries at its default instead of
+# disabling it, so connect/read failures are retried with a growing
+# wait BEFORE the plugin ever records its single terminal Error row
+# (plugin.py:170-185). Bounded parity here: DEFAULT_TRIES attempts
+# with linear backoff (wget --waitretry semantics: wait 1s, 2s, ...
+# capped), retrying network errors (status 0); 5xx retry is opt-in
+# via retry_statuses.
+DEFAULT_TRIES = 3
+RETRY_BACKOFF_S = 1.0
+RETRY_BACKOFF_CAP_S = 10.0
+
 # (status_code, location, content_type, body) — status 0 = network error
 FetchResult = Tuple[int, Optional[str], Optional[str], Optional[bytes]]
 FetchFn = Callable[[str, str], FetchResult]
@@ -114,14 +126,45 @@ def urllib_fetch(url: str, method: str) -> FetchResult:
             conn.close()
 
 
+def fetch_with_retry(
+    fetch_fn: FetchFn,
+    url: str,
+    method: str,
+    tries: int = DEFAULT_TRIES,
+    backoff_s: float = RETRY_BACKOFF_S,
+    retry_statuses: frozenset = frozenset(),
+    sleep: Callable[[float], None] = time.sleep,
+) -> FetchResult:
+    """wpull/wget transient-retry parity (see DEFAULT_TRIES note): a
+    transient failure — network error (status 0) or an opt-in status
+    like 503 — is retried up to ``tries`` total attempts with a
+    linearly growing wait; only after the last attempt does the
+    terminal result flow to the router (which records ONE Error row,
+    matching plugin.py:170-185's already-logged guard)."""
+    result = fetch_fn(url, method)
+    attempt = 1
+    while attempt < tries and (
+        result[0] == 0 or result[0] in retry_statuses
+    ):
+        sleep(min(backoff_s * attempt, RETRY_BACKOFF_CAP_S))
+        result = fetch_fn(url, method)
+        attempt += 1
+    return result
+
+
 def real_fetch(
     frontier: DataFrame,
     fetch_fn: FetchFn = urllib_fetch,
     wait_s: float = DEFAULT_WAIT_S,
+    tries: int = DEFAULT_TRIES,
+    backoff_s: float = RETRY_BACKOFF_S,
+    retry_statuses: frozenset = frozenset(),
 ) -> DataFrame:
     """frontier(url, host, fetch_method, ...) -> fetched rows in the
     web_pages shape. Rows are repartitioned by host so each host's
-    batch lands in one task, then fetched host-serially with pacing."""
+    batch lands in one task, then fetched host-serially with pacing;
+    transient failures retry per ``fetch_with_retry`` before a
+    terminal status-0 row is emitted."""
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last_hit: dict = {}
@@ -132,8 +175,13 @@ def real_fetch(
                 elapsed = time.monotonic() - last_hit.get(host, 0.0)
                 if elapsed < wait_s:
                     time.sleep(wait_s - elapsed)  # per-host pacing
-                status, location, ctype, body = fetch_fn(
-                    row["url"], row.get("fetch_method", "GET") or "GET"
+                status, location, ctype, body = fetch_with_retry(
+                    fetch_fn,
+                    row["url"],
+                    row.get("fetch_method", "GET") or "GET",
+                    tries=tries,
+                    backoff_s=backoff_s,
+                    retry_statuses=retry_statuses,
                 )
                 last_hit[host] = time.monotonic()
                 out["url"].append(row["url"])

@@ -11,6 +11,13 @@ stubbed two ways (clearly marked):
 * ``decoder="real"`` — raises NotImplementedError with the library
   needed (Pillow/libsndfile/pyav). On a cluster with codecs baked
   in, implementing `_decode_real` is the only change.
+* ``decoder=<callable>`` — the injectable codec seam (VERDICT r2 #5,
+  mirroring fetch.py's injectable HTTP client): any
+  ``(payload, kind, meta) -> ndarray`` plugs in, so the real-decode
+  path's batching/schema/error routing is exercised in pytest with a
+  stub codec and a deployment wires actual libraries without touching
+  the Spark plumbing. ``on_error='skip'`` gives row-wise
+  corrupt-payload tolerance.
 
 Schema/layout design for 100 TB of media:
 * media rows are `(media_id, kind, payload:binary, meta:struct)` —
@@ -61,8 +68,26 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     raise NotImplementedError(
         "real media decode needs Pillow (image) / soundfile (audio) / "
         "pyav (video), none of which are installed in this container; "
-        "swap decoder='fake' for decoder='real' once they are"
+        "pass decoder=<your callable> (payload, kind, meta) -> ndarray "
+        "or swap decoder='fake' for decoder='real' once they are"
     )
+
+
+def resolve_decoder(decoder):
+    """The injectable codec seam (same pattern as operators/fetch.py's
+    ``fetch_fn``): ``decoder`` is ``'fake'`` (deterministic stand-in),
+    ``'real'`` (the honest NotImplementedError stub until codec libs
+    ship in the image), or ANY callable ``(payload, kind, meta) ->
+    ndarray`` — a deployment plugs Pillow/soundfile/pyav here without
+    touching the Spark plumbing, and tests drive the real-decode
+    path's batching/schema/error routing with a stub codec."""
+    if callable(decoder):
+        return decoder
+    if decoder == "fake":
+        return _decode_fake
+    if decoder == "real":
+        return lambda payload, kind, meta: _decode_real(payload, kind)
+    raise ValueError(f"decoder must be 'fake', 'real', or a callable: {decoder!r}")
 
 
 def _meta_int(meta, key: str, default: int) -> int:
@@ -118,10 +143,14 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def image_features(
-    media: DataFrame, thumb: int = 8, decoder: str = "fake"
+    media: DataFrame, thumb: int = 8, decoder="fake", on_error: str = "raise"
 ) -> DataFrame:
     """Decode → luma stats + 16-bin histogram + nearest-neighbor
-    thumbnail, one Arrow batch at a time."""
+    thumbnail, one Arrow batch at a time. ``decoder`` per
+    ``resolve_decoder``; ``on_error='skip'`` drops rows whose decode
+    raised (corrupt-payload tolerance — real codecs fail row-wise, and
+    one bad blob must not kill a 100 TB task)."""
+    decode = resolve_decoder(decoder)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,11 +160,12 @@ def image_features(
             ):
                 if kind != "image":
                     continue
-                img = (
-                    _decode_fake(payload, kind, meta)
-                    if decoder == "fake"
-                    else _decode_real(payload, kind)
-                )
+                try:
+                    img = decode(payload, kind, meta)
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
                 luma = img.astype(np.float64).mean(axis=2)
                 hist = np.histogram(luma, bins=16, range=(0, 256))[0]
                 th = _resize_nearest(img, thumb, thumb)
@@ -160,7 +190,11 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def audio_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+def audio_features(
+    media: DataFrame, decoder="fake", on_error: str = "raise"
+) -> DataFrame:
+    decode = resolve_decoder(decoder)
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
@@ -169,11 +203,12 @@ def audio_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
             ):
                 if kind != "audio":
                     continue
-                samples = (
-                    _decode_fake(payload, kind, meta)
-                    if decoder == "fake"
-                    else _decode_real(payload, kind)
-                )
+                try:
+                    samples = decode(payload, kind, meta)
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
                 sr = _meta_int(meta, "sample_rate", 16000)
                 out["media_id"].append(mid)
                 out["duration_s"].append(len(samples) / sr)
@@ -198,10 +233,11 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def sample_frames(
-    media: DataFrame, every: int = 4, decoder: str = "fake"
+    media: DataFrame, every: int = 4, decoder="fake", on_error: str = "raise"
 ) -> DataFrame:
     """Video → every Nth frame as raw bytes (one output row per
     sampled frame; a flatMap-shaped mapInPandas)."""
+    decode = resolve_decoder(decoder)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -211,11 +247,12 @@ def sample_frames(
             ):
                 if kind != "video":
                     continue
-                frames = (
-                    _decode_fake(payload, kind, meta)
-                    if decoder == "fake"
-                    else _decode_real(payload, kind)
-                )
+                try:
+                    frames = decode(payload, kind, meta)
+                except Exception:
+                    if on_error == "skip":
+                        continue
+                    raise
                 for i in range(0, frames.shape[0], every):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)

@@ -55,27 +55,130 @@ def hash_sample(
     return df.where(_hash16(F.col(key_col)) < F.lit(threshold))
 
 
+# Self-arming prefilter policy (VERDICT r2 #4): a stratum only gets a
+# prefilter when it is big enough for the window sort to hurt AND the
+# quota is small relative to it. The margin keeps expected survivors
+# at MARGIN×n so undershoot (fewer than n survivors) is rare; an
+# exactness check repairs the rare misses, so results are ALWAYS
+# identical to the unprefiltered draw.
+PREFILTER_MARGIN = 8
+AUTO_PREFILTER_MIN_STRATUM = 100_000
+
+
+def _rank_quota(df: DataFrame, strata_col: str, key_col: str, n: int) -> DataFrame:
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def stratified_quota(
     df: DataFrame,
     strata_col: str,
     key_col: str,
     n_per_stratum: int,
     prefilter_fraction: Optional[float] = None,
+    stratum_counts: Optional[dict] = None,
+    auto_prefilter: bool = True,
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, drawn uniformly by
-    the key hash. `prefilter_fraction` applies hash_sample first so a
-    mega-stratum's window sorts only the expected survivors (set it to
-    ~4·n/|stratum| when quotas are tiny relative to strata)."""
+    the key hash — byte-identical to ranking the WHOLE stratum, by
+    construction (see below), whatever prefilter path runs.
+
+    Mega-strata are the skew hazard: the window sorts a whole stratum
+    in one task, so a 10^9-row stratum with a 20-row quota would sort
+    10^9 rows for 20. The defense is a hash prefilter that is a
+    *prefix of the ranking order*: the window orders by md5(key), and
+    ``hash_sample`` keeps exactly the rows whose md5 16-bit prefix
+    falls below a threshold — a downward-closed set in that order —
+    so as long as a stratum keeps ≥ its quota, the top-n of the
+    survivors IS the top-n of the stratum.
+
+    * ``prefilter_fraction`` — explicit caller-set rate (legacy knob).
+    * otherwise, when ``auto_prefilter`` (the default): per-stratum
+      rates arm themselves at MARGIN·n/|stratum| for strata over
+      AUTO_PREFILTER_MIN_STRATUM rows, from ``stratum_counts``
+      (caller-supplied counters, e.g. manifest/partition stats) or one
+      cheap count-by-stratum scan. Strata are data-mixing keys
+      (source/language/domain — driver-sized cardinality by
+      assumption). Undershot strata (survivors < quota, probability
+      ≈ Poisson(MARGIN·n < n) per stratum) are detected by a
+      survivor-count check and re-ranked without the prefilter, so
+      exactness never depends on luck.
+    """
     if prefilter_fraction is not None:
-        df = hash_sample(df, key_col, prefilter_fraction)
-    w = Window.partitionBy(strata_col).orderBy(
-        F.md5(F.col(key_col).cast("string")), key_col
+        return _rank_quota(
+            hash_sample(df, key_col, prefilter_fraction),
+            strata_col, key_col, n_per_stratum,
+        )
+    if not auto_prefilter:
+        return _rank_quota(df, strata_col, key_col, n_per_stratum)
+
+    if stratum_counts is None:
+        stratum_counts = {
+            r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+        }
+    armed = {
+        s: min(1.0, PREFILTER_MARGIN * n_per_stratum / c)
+        for s, c in stratum_counts.items()
+        if c >= AUTO_PREFILTER_MIN_STRATUM
+        and PREFILTER_MARGIN * n_per_stratum < c
+    }
+    if not armed:
+        return _rank_quota(df, strata_col, key_col, n_per_stratum)
+
+    spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    # fresh StructType (StructType.add mutates cached schemas)
+    thr_schema = T.StructType(
+        [
+            T.StructField(strata_col, df.schema[strata_col].dataType),
+            T.StructField("_thr16", T.LongType()),
+        ]
     )
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= n_per_stratum)
-        .drop("_rk")
+    thr = spark.createDataFrame(
+        [(s, int(round(f * 65536))) for s, f in armed.items()], thr_schema
     )
+    pre = (
+        df.join(F.broadcast(thr), strata_col, "left")
+        .where(
+            F.col("_thr16").isNull()
+            | (_hash16(F.col(key_col)) < F.col("_thr16"))
+        )
+        .drop("_thr16")
+    )
+    kept = _rank_quota(pre, strata_col, key_col, n_per_stratum)
+
+    # exactness check over the armed strata only: each must keep
+    # min(n, |stratum|) rows. The check job runs on the PREFILTERED
+    # plan (cheap); deterministic expressions make the recomputation
+    # on return identical.
+    got = {
+        r[0]: r[1]
+        for r in kept.where(F.col(strata_col).isin(list(armed)))
+        .groupBy(strata_col)
+        .count()
+        .collect()
+    }
+    short = [
+        s
+        for s in armed
+        if got.get(s, 0) < min(n_per_stratum, stratum_counts[s])
+    ]
+    if not short:
+        return kept
+    # rare undershoot: re-rank just the short strata without the
+    # prefilter and splice them back in
+    repair = _rank_quota(
+        df.where(F.col(strata_col).isin(short)),
+        strata_col, key_col, n_per_stratum,
+    )
+    return kept.where(~F.col(strata_col).isin(short)).unionByName(repair)
 
 
 __all__ = ["hash_sample", "stratified_quota"]
