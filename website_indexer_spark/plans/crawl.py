@@ -200,6 +200,163 @@ def fetch_sim_join(web, selected, n_selected):
     return hits.unionByName(misses), []
 
 
+# ----------------------------------------------------------------
+# Superstep plan builders — pure DataFrame -> DataFrame, shared by the
+# batch driver loop below and the streaming skin
+# (streaming/crawl_stream.py), so both run the byte-identical
+# route/extract/harvest logic.
+# ----------------------------------------------------------------
+
+def with_effective_status(fetched: DataFrame) -> DataFrame:
+    """Missing lookup row or NULL html on a 200 => network error 0
+    (the fetch-sim encoding of wpull's connection failures)."""
+    return fetched.withColumn(
+        "eff_status",
+        F.when(F.col("status_code").isNull(), F.lit(0))
+        .when(
+            (F.col("status_code") == 200)
+            & F.col("html").isNull()
+            & F.col("location").isNull(),
+            F.lit(0),
+        )
+        .otherwise(F.col("status_code")),
+    )
+
+
+def route_and_extract(fetched: DataFrame, start_host: str) -> DataFrame:
+    """A14 + A16 in ONE projection: the response router is a CASE over
+    eff_status (not three branch DataFrames) and the extract UDF runs
+    exactly once per row — html is nulled out for non-page rows first,
+    so the kernel short-circuits on errors/redirects/externals. Rows
+    with NULL record_type vanish entirely: external 200s, non-HTML
+    content types, and no-title pages (plugin.py:274-281;
+    models.py:125-126). Caller persists (it feeds two sinks)."""
+    is_on_host_html = (
+        (F.col("eff_status") >= 200)
+        & (F.col("eff_status") < 300)
+        & (F.col("host") == start_host)
+        & F.col("content_type").startswith("text/html")
+        & F.col("html").isNotNull()
+    )
+    return (
+        fetched.withColumn(
+            "ex",
+            extract_udf(
+                F.when(is_on_host_html, F.col("html")), F.lit(start_host)
+            ),
+        )
+        .withColumn(
+            "record_type",
+            F.when(
+                (F.col("eff_status") == 0) | (F.col("eff_status") >= 400),
+                F.lit("error"),
+            )
+            .when(
+                (F.col("eff_status") >= 300) & (F.col("eff_status") < 400),
+                F.lit("redirect"),
+            )
+            .when(
+                is_on_host_html & F.col("ex.title").isNotNull(), F.lit("page")
+            ),
+        )
+        .filter(F.col("record_type").isNotNull())
+    )
+
+
+def routed_projection(extracted: DataFrame, crawl_id: int) -> DataFrame:
+    """The unified routed-delta rows (ROUTED_SCHEMA shape) off the
+    cached extraction."""
+    is_page = F.col("record_type") == "page"
+    return extracted.select(
+        "record_type",
+        F.lit(crawl_id).alias("crawl_id"),
+        F.coalesce(F.col("warc_ts"), F.current_timestamp()).alias("timestamp"),
+        "url",
+        F.when(is_page, F.col("depth")).alias("depth"),
+        F.when(is_page, F.col("discovery_seq")).alias("discovery_seq"),
+        F.col("ex.title").alias("title"),
+        F.col("ex.language").alias("language"),
+        F.col("ex.text").alias("text"),
+        F.when(is_page, F.decode(F.col("html"), "UTF-8")).alias("html"),
+        F.col("ex.links").alias("links"),
+        F.col("ex.components").alias("components"),
+        F.when(~is_page, F.col("eff_status").cast("int")).alias("status_code"),
+        F.when(
+            ~is_page & (F.col("parent_url") != F.col("url")),
+            F.col("parent_url"),
+        ).alias("referrer"),
+        F.when(F.col("record_type") == "redirect", F.col("location")).alias(
+            "location"
+        ),
+    )
+
+
+def harvest_candidates(
+    extracted: DataFrame,
+    start_host: str,
+    policy: CrawlPolicy,
+    robots: Optional[DataFrame],
+    depth_cap: int,
+) -> DataFrame:
+    """New frontier candidates: page links and redirect Locations
+    share one canonicalize → url-parts → policy pipeline; redirect
+    follows keep the redirecting row's depth and additionally require
+    the canonical host to BE the start host ("don't follow redirects
+    that don't point to the start domain", plugin.py:236-245) —
+    unlike links, off-host locations are never one-hop probed.
+    Returns accepted candidates, deduped to the first (depth,
+    parent_seq, parent_url) observer per url."""
+    is_page = F.col("record_type") == "page"
+    raw_candidates = extracted.filter(is_page).select(
+        F.col("url").alias("parent_url"),
+        F.col("host").alias("parent_host"),
+        (F.col("depth") + 1).alias("depth"),
+        F.col("discovery_seq").alias("parent_seq"),
+        F.col("ex.links").alias("raws"),
+        F.lit(False).alias("from_redirect"),
+    ).unionByName(
+        extracted.filter(
+            (F.col("record_type") == "redirect")
+            & F.col("location").isNotNull()
+        ).select(
+            F.col("url").alias("parent_url"),
+            F.col("host").alias("parent_host"),
+            F.col("depth").alias("depth"),
+            F.col("discovery_seq").alias("parent_seq"),
+            F.array(F.col("location")).alias("raws"),
+            F.lit(True).alias("from_redirect"),
+        )
+    )
+    if depth_cap:
+        raw_candidates = raw_candidates.filter(F.col("depth") <= depth_cap)
+
+    candidates = raw_candidates.select(
+        "parent_url",
+        "parent_host",
+        "depth",
+        "parent_seq",
+        "from_redirect",
+        F.explode(
+            canonicalize_links_udf(
+                F.col("parent_url"), F.col("raws"), F.lit(start_host)
+            )
+        ).alias("url"),
+    )
+    candidates = with_url_parts(candidates)
+    candidates = candidates.filter(
+        ~F.col("from_redirect") | (F.col("host") == start_host)
+    )
+    accepted = accept_url_filter(candidates, start_host, policy)
+    accepted = robots_filter(accepted, robots)
+    # within-delta dedup: first observer wins, deterministically
+    w_url = Window.partitionBy("url").orderBy("depth", "parent_seq", "parent_url")
+    return (
+        accepted.withColumn("_rn", F.row_number().over(w_url))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 @dataclass
 class CrawlResult:
     supersteps: int
@@ -368,143 +525,23 @@ def run_crawl(
             # same corpus.
             fetched, step_persists = fetch_sim_join(web, selected, n_selected)
             t = _mark("fetch-join-build", t)
-            # status: missing row or NULL html with 200 => network error 0
-            fetched = fetched.withColumn(
-                "eff_status",
-                F.when(F.col("status_code").isNull(), F.lit(0))
-                .when(
-                    (F.col("status_code") == 200)
-                    & F.col("html").isNull()
-                    & F.col("location").isNull(),
-                    F.lit(0),
-                )
-                .otherwise(F.col("status_code")),
-            )
+            fetched = with_effective_status(fetched)
 
-            # --- route + extract in ONE projection (A14 + A16) -----------
-            # The response router is a CASE over eff_status, not three
-            # branch DataFrames: one cached plan feeds the routed write
-            # AND the frontier harvest, and the extract UDF runs exactly
-            # once per row (html is nulled out for non-page rows first, so
-            # the kernel short-circuits on errors/redirects/externals).
-            is_on_host_html = (
-                (F.col("eff_status") >= 200)
-                & (F.col("eff_status") < 300)
-                & (F.col("host") == start_host)
-                & F.col("content_type").startswith("text/html")
-                & F.col("html").isNotNull()
-            )
-            extracted = (
-                fetched.withColumn(
-                    "ex",
-                    extract_udf(
-                        F.when(is_on_host_html, F.col("html")), F.lit(start_host)
-                    ),
-                )
-                .withColumn(
-                    "record_type",
-                    F.when(
-                        (F.col("eff_status") == 0) | (F.col("eff_status") >= 400),
-                        F.lit("error"),
-                    )
-                    .when(
-                        (F.col("eff_status") >= 300) & (F.col("eff_status") < 400),
-                        F.lit("redirect"),
-                    )
-                    .when(
-                        is_on_host_html & F.col("ex.title").isNotNull(), F.lit("page")
-                    ),
-                )
-                # rows with NULL record_type vanish entirely: external
-                # 200s, non-HTML content types, and no-title pages
-                # (plugin.py:274-281; models.py:125-126)
-                .filter(F.col("record_type").isNotNull())
-                .persist()
-            )
-
+            # --- route + extract (A14 + A16), shared plan builders ------
+            # persisted: one cached plan feeds the routed write AND the
+            # frontier harvest
+            extracted = route_and_extract(fetched, start_host).persist()
             is_page = F.col("record_type") == "page"
-            routed_delta = extracted.select(
-                "record_type",
-                F.lit(crawl_id).alias("crawl_id"),
-                F.coalesce(F.col("warc_ts"), F.current_timestamp()).alias("timestamp"),
-                "url",
-                F.when(is_page, F.col("depth")).alias("depth"),
-                F.when(is_page, F.col("discovery_seq")).alias("discovery_seq"),
-                F.col("ex.title").alias("title"),
-                F.col("ex.language").alias("language"),
-                F.col("ex.text").alias("text"),
-                F.when(is_page, F.decode(F.col("html"), "UTF-8")).alias("html"),
-                F.col("ex.links").alias("links"),
-                F.col("ex.components").alias("components"),
-                F.when(~is_page, F.col("eff_status").cast("int")).alias("status_code"),
-                F.when(
-                    ~is_page & (F.col("parent_url") != F.col("url")),
-                    F.col("parent_url"),
-                ).alias("referrer"),
-                F.when(F.col("record_type") == "redirect", F.col("location")).alias(
-                    "location"
-                ),
-            )
-
-            # --- harvest new frontier candidates -------------------------
-            # Page links and redirect Locations share one canonicalize →
-            # url-parts → policy pipeline; redirect follows keep the
-            # redirecting row's depth and additionally require the
-            # canonical host to BE the start host ("don't follow redirects
-            # that don't point to the start domain", plugin.py:236-245) —
-            # unlike links, off-host locations are never one-hop probed.
-            raw_candidates = extracted.filter(is_page).select(
-                F.col("url").alias("parent_url"),
-                F.col("host").alias("parent_host"),
-                (F.col("depth") + 1).alias("depth"),
-                F.col("discovery_seq").alias("parent_seq"),
-                F.col("ex.links").alias("raws"),
-                F.lit(False).alias("from_redirect"),
-            ).unionByName(
-                extracted.filter(
-                    (F.col("record_type") == "redirect")
-                    & F.col("location").isNotNull()
-                ).select(
-                    F.col("url").alias("parent_url"),
-                    F.col("host").alias("parent_host"),
-                    F.col("depth").alias("depth"),
-                    F.col("discovery_seq").alias("parent_seq"),
-                    F.array(F.col("location")).alias("raws"),
-                    F.lit(True).alias("from_redirect"),
-                )
-            )
-            if depth_cap:
-                raw_candidates = raw_candidates.filter(F.col("depth") <= depth_cap)
-
-            candidates = raw_candidates.select(
-                "parent_url",
-                "parent_host",
-                "depth",
-                "parent_seq",
-                "from_redirect",
-                F.explode(
-                    canonicalize_links_udf(
-                        F.col("parent_url"), F.col("raws"), F.lit(start_host)
-                    )
-                ).alias("url"),
-            )
-            candidates = with_url_parts(candidates)
-            candidates = candidates.filter(
-                ~F.col("from_redirect") | (F.col("host") == start_host)
-            )
+            routed_delta = routed_projection(extracted, crawl_id)
 
             t = _mark("route-extract-build", t)
-            accepted = accept_url_filter(candidates, start_host, policy)
-            accepted = robots_filter(accepted, robots)
+            # --- harvest + policy + within-delta dedup -------------------
+            accepted = harvest_candidates(
+                extracted, start_host, policy, robots, depth_cap
+            )
             t = _mark("policy-build", t)
 
-            # --- dedup: within delta, vs queued, vs seen (A3) ------------
-            w_url = Window.partitionBy("url").orderBy("depth", "parent_seq", "parent_url")
-            accepted = (
-                accepted.withColumn("_rn", F.row_number().over(w_url))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            # --- dedup: vs queued, vs seen (A3) --------------------------
             if deferred is not None:
                 accepted = accepted.join(
                     deferred.select("url"), "url", "left_anti"
