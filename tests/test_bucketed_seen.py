@@ -157,3 +157,120 @@ def test_forced_bucketed_path_crawl_matches_oracle(spark, tmp_path, monkeypatch)
     assert files and all(
         f"bucket={b}" in p for b, ps in files.items() for p in ps
     )
+
+
+# ---------------- dims MERGE, storage-partitioned (same theme) ------
+
+
+def _write_dims_deltas(spark, tmp_path, deltas, n_buckets=4):
+    from pyspark.sql import functions as F
+    from website_indexer_spark.sources.tables import DIMS_SCHEMA
+
+    backend = ParquetManifestBackend(spark, str(tmp_path / "dstore"))
+    for k, rows in enumerate(deltas):
+        df = spark.createDataFrame(rows, DIMS_SCHEMA).withColumn(
+            "bucket", F.pmod(F.xxhash64("kind", "key"), F.lit(n_buckets))
+        )
+        backend.write_delta(
+            "dims", df.coalesce(1), k, partition_by=["kind", "bucket"]
+        )
+        backend.commit(k, {})
+    return backend
+
+
+def test_dim_upsert_bucketed_matches_plain(spark, tmp_path):
+    """Exact-string storage-partitioned MERGE probe == the plain
+    anti-join MERGE delta, including composite keys with hostile
+    characters and in-batch duplicates."""
+    from website_indexer_spark.operators.dims import (
+        dim_upsert_delta,
+        dim_upsert_delta_bucketed,
+    )
+    from website_indexer_spark.sources.tables import DIMS_SCHEMA
+
+    existing_rows = [("component", f"o-c{i}") for i in range(40)] + [
+        ("link", f"/p{i}/") for i in range(40)
+    ] + [("link", "weird\x00nul"), ("component", "ünïcødé")]
+    backend = _write_dims_deltas(
+        spark, tmp_path, [existing_rows[:30], existing_rows[30:]], n_buckets=4
+    )
+    incoming_rows = (
+        existing_rows[20:60]          # overlap: must NOT re-emit
+        + [("link", f"/new{i}/") for i in range(25)]
+        + [("link", "/new0/")] * 3    # in-batch dupes: emit once
+        + [("component", "ünïcødé"), ("link", "weird\x00nul")]  # exact match
+        + [("link", "weird\x00nul2")]  # near-collision string: IS new
+    )
+    incoming = spark.createDataFrame(incoming_rows, DIMS_SCHEMA)
+    existing = backend.read_table("dims", DIMS_SCHEMA)
+    want = sorted(
+        (r["kind"], r["key"])
+        for r in dim_upsert_delta(existing, incoming, ["kind", "key"]).collect()
+    )
+    got = sorted(
+        (r["kind"], r["key"])
+        for r in dim_upsert_delta_bucketed(
+            incoming, backend.bucketed_files("dims"), 4
+        ).collect()
+    )
+    assert got == want
+    assert ("link", "weird\x00nul2") in got
+    assert ("link", "weird\x00nul") not in got
+    assert got.count(("link", "/new0/")) == 1
+
+    # empty dims table: everything distinct comes through
+    got_empty = sorted(
+        (r["kind"], r["key"])
+        for r in dim_upsert_delta_bucketed(incoming, {}, 4).collect()
+    )
+    want_empty = sorted(
+        {(k, v) for k, v in incoming_rows}
+    )
+    assert got_empty == want_empty
+
+
+def test_dim_upsert_bucketed_plan_single_exchange(spark, tmp_path):
+    """One exchange total (the bucket repartition — distinct is folded
+    partition-local), no dims-side scan, no broadcast."""
+    import io
+    from contextlib import redirect_stdout
+
+    from website_indexer_spark.operators.dims import dim_upsert_delta_bucketed
+    from website_indexer_spark.sources.tables import DIMS_SCHEMA
+
+    backend = _write_dims_deltas(
+        spark, tmp_path, [[("link", f"/p{i}/") for i in range(20)]], 4
+    )
+    incoming = spark.createDataFrame(
+        [("link", f"/q{i}/") for i in range(50)], DIMS_SCHEMA
+    )
+    out = dim_upsert_delta_bucketed(incoming, backend.bucketed_files("dims"), 4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "dstore" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+
+@pytest.mark.slow
+def test_forced_bucketed_dims_crawl_matches_default(spark, tmp_path, monkeypatch):
+    """Force the dims MERGE down the storage-partitioned path for a
+    whole crawl: the final dims table must equal the default crawl's."""
+    web, seed = fixture_site()
+    base = C.run_crawl(
+        spark, web_dict_to_df(spark, web), seed, str(tmp_path / "a")
+    )
+    monkeypatch.setattr(C, "DIM_BROADCAST_THRESHOLD", -1)
+    monkeypatch.setattr(C, "BROADCAST_FETCH_THRESHOLD", -1)
+    forced = C.run_crawl(
+        spark, web_dict_to_df(spark, web), seed, str(tmp_path / "b")
+    )
+    for view in ("dim_components", "dim_links"):
+        a = sorted(r[0] for r in base.store.read_all(view).collect())
+        b = sorted(r[0] for r in forced.store.read_all(view).collect())
+        assert a == b, view
+    # and the dims layout really is bucketed
+    files = forced.store.backend.bucketed_files("dims")
+    assert files and all("bucket=" in p for ps in files.values() for p in ps)

@@ -246,6 +246,40 @@ def crawl_operator_plans(spark, work_dir: str):
         ],
     )
 
+    # dims MERGE above the broadcast threshold: storage-partitioned
+    # probe against the kind/bucket dims layout — exact on the key
+    # strings, one exchange total (distinct folded partition-local).
+    from website_indexer_spark.operators.dims import dim_upsert_delta_bucketed
+    from website_indexer_spark.sources.tables import DIMS_BUCKETS
+
+    big.select(
+        F.lit("link").alias("kind"), F.col("url").alias("key")
+    ).select(
+        "kind", "key",
+        F.pmod(F.xxhash64("kind", "key"), F.lit(DIMS_BUCKETS)).alias("bucket"),
+    ).write.mode("overwrite").partitionBy("kind", "bucket").parquet(
+        os.path.join(work_dir, "bstore", "dims", "superstep=0")
+    )
+    incoming_dims = wave.select(
+        F.lit("link").alias("kind"), F.col("url").alias("key")
+    )
+    plans["dims_merge_delta_bucketed"] = (
+        dim_upsert_delta_bucketed(
+            incoming_dims, backend.bucketed_files("dims"), DIMS_BUCKETS
+        ),
+        [
+            ("dims table absent from the plan: probe tasks point-read "
+             "their bucket's files executor-side",
+             lambda p: "bstore" not in p),
+            ("ONE exchange total — the bucket repartition; the MERGE "
+             "distinct is folded partition-local, no dims-side or "
+             "distinct exchange",
+             lambda p: p.count("Arguments: hashpartitioning") == 1),
+            ("probe is an Arrow-batched MapInPandas",
+             lambda p: "MapInPandas" in p),
+        ],
+    )
+
     plans["dims_merge_delta"] = (
         dim_upsert_delta(
             seen.select(F.col("url").alias("key")),

@@ -52,8 +52,11 @@ def dim_upsert_delta(
       LeftAnti(BuildRight) — the URL-seen-set composition
       (operators/frontier.py exclude_keys); right once the dimension
       outgrows broadcast but the wave's keys don't.
-    * both False: plain shuffled anti-join — storage-partitioned on a
-      key-bucketed dimension table at deployment scale.
+    * both False: plain shuffled anti-join. The crawl store does NOT
+      use this above the broadcast threshold — it uses the genuinely
+      storage-partitioned ``dim_upsert_delta_bucketed`` against the
+      hash-bucketed dims layout; this fallback remains for callers
+      without a bucketed table.
     """
     if isinstance(key_cols, str):
         key_cols = [key_cols]
@@ -65,3 +68,115 @@ def dim_upsert_delta(
         hits = ex.join(F.broadcast(inc), key_cols, "left_semi")
         return inc.join(F.broadcast(hits), key_cols, "left_anti")
     return inc.join(ex, key_cols, "left_anti")
+
+
+def dim_upsert_delta_bucketed(
+    incoming: DataFrame,
+    bucket_files: dict,
+    n_buckets: int,
+    key_cols: Union[str, List[str]] = ("kind", "key"),
+) -> DataFrame:
+    """The MERGE delta for waves too big to broadcast, computed
+    storage-partitioned against the hash-bucketed dims layout
+    (``bucket_files``: bucket id -> parquet paths, bucket =
+    pmod(xxhash64(*key_cols), n_buckets) — what ParquetManifestBackend
+    writes; Iceberg's bucket(N, ...) transform at deployment).
+
+    Like the seen set's ``exclude_keys_bucketed``: the ONLY exchange
+    is the incoming side's repartition by bucket; the dimension never
+    appears as a Spark scan — each task point-reads its bucket's files
+    executor-side. Unlike the seen set, membership is decided on the
+    EXACT key strings (pandas MultiIndex isin over the bucket's
+    (kind, key) columns) — the 64-bit hash only routes rows to
+    buckets, so collisions cannot drop a new key. The MERGE's distinct
+    is folded into the same pass: bucketing co-locates all copies of a
+    key, so dedup is partition-local (no separate distinct exchange)."""
+    import os as _os
+    from typing import Iterator
+
+    import pandas as pd
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    cols = list(key_cols)
+    files_by_bucket = {int(b): tuple(p) for b, p in bucket_files.items()}
+    nb = n_buckets
+
+    def drop_present(batches: "Iterator[pd.DataFrame]"):
+        import pyarrow.parquet as pq
+
+        loaded: dict = {}
+        emitted: set = set()  # partition-local distinct (co-located keys)
+
+        def read_file_keys(path: str) -> "pd.DataFrame":
+            # key columns that are PARTITION columns (e.g. the dims
+            # table's kind=K dirs) live in the path, not in the file —
+            # parse them out (Spark Hive-style %-escaping) and read
+            # only the data columns from the parquet footer onward
+            from urllib.parse import unquote
+
+            parts = dict(
+                seg.split("=", 1)
+                for seg in path.split(_os.sep)
+                if "=" in seg and not seg.endswith(".parquet")
+            )
+            file_cols = [c for c in cols if c not in parts]
+            pdf = pq.read_table(path, columns=file_cols).to_pandas()
+            for c in cols:
+                if c in parts:
+                    pdf[c] = unquote(parts[c])
+            return pdf[cols]
+
+        def bucket_index(b: int):
+            idx = loaded.get(b)
+            if idx is None:
+                frames = [
+                    read_file_keys(path)
+                    for path in files_by_bucket.get(b, ())
+                    if _os.path.exists(path)
+                ]
+                if frames:
+                    idx = pd.MultiIndex.from_frame(
+                        pd.concat(frames, ignore_index=True)[cols]
+                    )
+                else:
+                    idx = pd.MultiIndex.from_arrays([[] for _ in cols])
+                loaded[b] = idx
+            return idx
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            import numpy as np
+
+            buckets = pdf["_bk"].to_numpy()
+            row_index = pd.MultiIndex.from_frame(pdf[cols])
+            keep_mask = np.ones(len(pdf), dtype=bool)
+            for b in set(buckets.tolist()):
+                sel = buckets == b
+                idx = bucket_index(int(b))
+                if len(idx) == 0:
+                    continue
+                keep_mask[sel] = ~row_index[sel].isin(idx)
+            out = pdf.loc[keep_mask, cols]
+            if len(out) == 0:
+                continue
+            # sequential first-wins so in-batch duplicates dedup too
+            fresh = []
+            for t in out.itertuples(index=False):
+                t = tuple(t)
+                if t in emitted:
+                    fresh.append(False)
+                else:
+                    emitted.add(t)
+                    fresh.append(True)
+            out = out.loc[fresh]
+            if len(out):
+                yield out
+
+    inc = incoming.select(*cols).na.drop(subset=cols)
+    inc = inc.withColumn(
+        "_bk", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(nb))
+    )
+    part = inc.repartition(nb, F.col("_bk"))
+    return part.mapInPandas(drop_present, inc.drop("_bk").schema)

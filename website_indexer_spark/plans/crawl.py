@@ -80,13 +80,17 @@ from website_indexer_spark.operators.frontier import (
     assign_ordered_seq,
     politeness_select,
 )
-from website_indexer_spark.operators.dims import dim_upsert_delta
+from website_indexer_spark.operators.dims import (
+    dim_upsert_delta,
+    dim_upsert_delta_bucketed,
+)
 from website_indexer_spark.operators.policy import (
     CrawlPolicy,
     accept_url_filter,
     robots_filter,
 )
 from website_indexer_spark.sources.tables import (
+    DIMS_BUCKETS,
     FRONTIER_SCHEMA,
     SEEN_BUCKETS,
     CrawlStore,
@@ -670,19 +674,35 @@ def run_crawl(
                 )
                 # same wave-size guard as the seen anti-join: a huge
                 # wave's href keys (≈ wave × fan-out) must not be
-                # broadcast — fall back to the shuffled anti-join
-                # (storage-partitioned on a key-bucketed dims table at
-                # deployment scale)
-                dims_delta = dim_upsert_delta(
-                    store.read_all("dims"),
-                    incoming,
-                    ["kind", "key"],
-                    broadcast_incoming=(
-                        n_selected * SEQ_FANOUT_ESTIMATE
-                        <= BROADCAST_FETCH_THRESHOLD
-                    ),
-                    small_existing=dims_total <= DIM_BROADCAST_THRESHOLD,
-                )
+                # broadcast — above the threshold run the
+                # STORAGE-PARTITIONED MERGE probe against the
+                # hash-bucketed dims layout (exact on the key strings;
+                # no dims-side scan or exchange), mirroring the seen
+                # set's bucketed path.
+                if dims_total <= DIM_BROADCAST_THRESHOLD:
+                    dims_delta = dim_upsert_delta(
+                        store.read_all("dims"),
+                        incoming,
+                        ["kind", "key"],
+                        small_existing=True,
+                    )
+                elif (
+                    n_selected * SEQ_FANOUT_ESTIMATE
+                    <= BROADCAST_FETCH_THRESHOLD
+                ):
+                    dims_delta = dim_upsert_delta(
+                        store.read_all("dims"),
+                        incoming,
+                        ["kind", "key"],
+                        broadcast_incoming=True,
+                    )
+                else:
+                    dims_delta = dim_upsert_delta_bucketed(
+                        incoming,
+                        store.backend.bucketed_files("dims"),
+                        DIMS_BUCKETS,
+                        ["kind", "key"],
+                    )
 
             # The four delta writes are mutually independent (all hang
             # off the persisted extraction / the already-counted wave),
@@ -725,7 +745,16 @@ def run_crawl(
                     (
                         "dims",
                         lambda: store.write_delta(
-                            "dims", dims_delta.coalesce(1), k, partition_by=["kind"]
+                            "dims",
+                            dims_delta.withColumn(
+                                "bucket",
+                                F.pmod(
+                                    F.xxhash64("kind", "key"),
+                                    F.lit(DIMS_BUCKETS),
+                                ),
+                            ).coalesce(1),
+                            k,
+                            partition_by=["kind", "bucket"],
                         ),
                     )
                 )

@@ -84,6 +84,14 @@ SEEN_SCHEMA = T.StructType(
 # (~4096 buckets at 10^10 seen keys = ~20 MB/task).
 SEEN_BUCKETS = 8
 
+# The dims table gets the same treatment, sub-partitioned
+# kind=K/bucket=B with bucket = pmod(xxhash64(kind, key), DIMS_BUCKETS)
+# — the hash only ROUTES rows to buckets; the storage-partitioned
+# MERGE probe (operators/dims.py dim_upsert_delta_bucketed) decides
+# membership on the exact (kind, key) strings it reads from the
+# bucket's files, so hash collisions cannot drop a genuinely-new key.
+DIMS_BUCKETS = 8
+
 PAGES_SCHEMA = T.StructType(
     [
         T.StructField("crawl_id", T.LongType()),
@@ -350,9 +358,12 @@ class ParquetManifestBackend(TableBackend):
         counts: Dict[str, int] = {}
         for dirpath, _dirs, files in os.walk(base):
             rel = os.path.relpath(dirpath, base)
+            # key on the FIRST partition level (record_type / kind);
+            # deeper levels (the dims/seen hash buckets) aggregate up
             part = ""
-            if "=" in rel:
-                part = rel.split("=", 1)[1]
+            first = rel.split(os.sep)[0]
+            if "=" in first:
+                part = first.split("=", 1)[1]
             for fname in files:
                 if not fname.endswith(".parquet"):
                     continue
@@ -654,7 +665,13 @@ class CrawlStore:
             if name == "routed":
                 schema, pb = ROUTED_SCHEMA, ["record_type"]
             elif name == "dims":
-                schema, pb = _DELTA_SCHEMAS[name], ["kind"]
+                # preserve the kind + hash-bucket layout (bucket is
+                # derived, so recompute it through the rewrite)
+                schema, pb = _DELTA_SCHEMAS[name], ["kind", "bucket"]
+                augment = lambda df: df.withColumn(  # noqa: E731
+                    "bucket",
+                    F.pmod(F.xxhash64("kind", "key"), F.lit(DIMS_BUCKETS)),
+                )
             else:
                 # seen: preserve the hash-bucketed layout through the
                 # rewrite (bucket is derived, so recompute it)
