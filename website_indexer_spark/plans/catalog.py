@@ -402,6 +402,71 @@ def q_stratified_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def _fresh_backend(spark, prefix):
+    import tempfile
+
+    from website_indexer_spark.sources.tables import ParquetManifestBackend
+
+    return ParquetManifestBackend(spark, tempfile.mkdtemp(prefix=prefix))
+
+
+def q_seen_anti_join_bucketed(spark, sf):
+    """THE crawl-scale dedup path under the oracle gate: even doc_ids
+    are the committed seen keys, written hash-bucketed through the
+    real backend; the storage-partitioned probe over all doc_ids must
+    keep exactly the odds. doc_id stands in for the 64-bit url hash
+    (any int64 key works and DuckDB replays it exactly); the operator
+    is byte-for-byte the one the crawl uses above the broadcast
+    threshold (operators/frontier.py exclude_keys_bucketed)."""
+    from website_indexer_spark.operators.frontier import exclude_keys_bucketed
+
+    docs = _t(spark, sf, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("url_hash"), F.col("doc_id").cast("string").alias("url")
+    )
+    backend = _fresh_backend(spark, "gate_seen_")
+    backend.write_delta(
+        "seen",
+        seen.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(8))).coalesce(1),
+        0,
+        partition_by=["bucket"],
+    )
+    backend.commit(0, {})
+    probe = docs.select(F.col("doc_id").alias("url_hash"))
+    return exclude_keys_bucketed(
+        probe, backend.bucketed_files("seen"), 8
+    ).select(F.col("url_hash").alias("doc_id"))
+
+
+def q_dimension_upsert_bucketed(spark, sf):
+    """The dims MERGE's storage-partitioned strategy under the same
+    oracle as `dimension_upsert`: identical delta semantics, physical
+    path = bucketed point-reads + partition-local distinct instead of
+    the shuffled anti-join."""
+    from website_indexer_spark.operators.dims import dim_upsert_delta_bucketed
+
+    sh = dedup.shingles(_t(spark, sf, "documents"), "doc_id", "text", n=3)
+    existing = sh.filter(F.col("doc") % 2 == 0).select(
+        F.lit("tok").alias("kind"), F.col("shingle").alias("key")
+    ).distinct()
+    incoming = sh.filter(F.col("doc") % 2 == 1).select(
+        F.lit("tok").alias("kind"), F.col("shingle").alias("key")
+    )
+    backend = _fresh_backend(spark, "gate_dims_")
+    backend.write_delta(
+        "dims",
+        existing.withColumn(
+            "bucket", F.pmod(F.xxhash64("kind", "key"), F.lit(8))
+        ).coalesce(1),
+        0,
+        partition_by=["kind", "bucket"],
+    )
+    backend.commit(0, {})
+    return dim_upsert_delta_bucketed(
+        incoming, backend.bucketed_files("dims"), 8
+    ).select(F.col("key").alias("token"))
+
+
 def q_pii_scrub(spark, sf):
     """PII redaction over the events.props payload (emails, phone
     shapes, digit runs) + per-pattern audit counts."""
@@ -586,6 +651,8 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "distinctive_terms": q_distinctive_terms,
     "pretrain_pipeline": q_pretrain_pipeline,
     "dimension_upsert": q_dimension_upsert,
+    "dimension_upsert_bucketed": q_dimension_upsert_bucketed,
+    "seen_anti_join_bucketed": q_seen_anti_join_bucketed,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "token_counts": q_token_counts,
@@ -978,6 +1045,23 @@ ORACLE_SQL: Dict[str, str] = {
         )
         SELECT DISTINCT token FROM tri WHERE doc_id % 2 = 1
           AND token NOT IN (SELECT token FROM tri WHERE doc_id % 2 = 0)
+    """,
+    "dimension_upsert_bucketed": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ), tri AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS token
+          FROM toks WHERE len(t) >= 3
+        )
+        SELECT DISTINCT token FROM tri WHERE doc_id % 2 = 1
+          AND token NOT IN (SELECT token FROM tri WHERE doc_id % 2 = 0)
+    """,
+    "seen_anti_join_bucketed": """
+        SELECT doc_id FROM documents WHERE doc_id % 2 = 1
     """,
     "lang_id": _lang_id_sql(),
     "quality": _quality_sql(),
