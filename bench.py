@@ -46,8 +46,15 @@ BENCH_QUERIES = [
     "quality",
     "token_counts",
     "ann_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "hash_sample",
+    "media_meta",
     "embedding_dup_pairs_lsh",
     "dimension_upsert",
+    # (dimension_upsert_bucketed stays gate-only: its bench time would
+    # be ~90% scratch-layout setup write, not the probe)
+    "seen_anti_join_bucketed",
     "dedup_clusters",
     "stratified_sample",
     "pii_scrub",
