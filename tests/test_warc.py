@@ -1,0 +1,104 @@
+"""WARC ingestion (Common Crawl's native format → the web_pages input
+table), driven against the reference's OWN wget-written archive
+(/root/reference/sample/crawl.warc.gz). The archive predates one edit
+to the sample homepage, so the byte-identity anchor is the child page
+(its source is identical to sample/src); the homepage still proves the
+HTTP/WARC framing parse."""
+
+import datetime
+import gzip
+import os
+
+import pytest
+
+from website_indexer_spark.sources import warc as W
+
+REF_WARC = "/root/reference/sample/crawl.warc.gz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_WARC), reason="reference sample warc absent"
+)
+
+
+def _blob():
+    return open(REF_WARC, "rb").read()
+
+
+def test_pure_parse_of_reference_archive():
+    recs = list(W.iter_warc_records(_blob()))
+    types = [h.get("warc-type") for h, _ in recs]
+    assert types.count("response") == 2 and "warcinfo" in types
+
+    rows = list(W.warc_file_to_rows(_blob()))
+    assert [r[0] for r in rows] == [
+        "http://localhost:8000/",
+        "http://localhost:8000/child/",
+    ]
+    for url, ts, html, text, lang, status, location, ctype in rows:
+        assert status == 200 and ctype == "text/html"
+        assert text is None and lang is None and location is None
+        assert isinstance(ts, datetime.datetime) and ts.year == 2022
+        assert html and b"<html" in html
+
+    # the child body is byte-identical to the committed site source
+    child_src = open(
+        "/root/reference/sample/src/child/index.html", "rb"
+    ).read()
+    assert rows[1][2] == child_src
+
+
+def test_parser_hostility():
+    # non-gzip garbage, no WARC magic: no records, no raise
+    assert list(W.iter_warc_records(b"not a warc at all")) == []
+    # truncated archive: complete prefix survives, torn tail dropped
+    data = gzip.decompress(_blob())
+    cut = data[: int(len(data) * 0.6)]
+    full = list(W.iter_warc_records(data))
+    part = list(W.iter_warc_records(cut))
+    assert 0 < len(part) < len(full)
+    assert part == full[: len(part)]
+    # bad content-length: stops cleanly
+    assert list(W.iter_warc_records(b"WARC/1.0\r\nContent-Length: x\r\n\r\n")) == []
+    # non-HTTP payload routed out
+    assert W.parse_http_response(b"just bytes") is None
+
+
+def test_read_warc_and_crawl_matches_reference_db(spark, tmp_path):
+    """The full loop: WARC archive → web_pages table → BFS crawl →
+    extracted pages; the child page's text must equal the reference
+    DB row (byte-identity through the WHOLE pipeline from the real
+    archive)."""
+    import sqlite3
+
+    from website_indexer_spark.plans.crawl import run_crawl
+    from website_indexer_spark.sources.tables import load_web_pages
+
+    web = W.read_warc(spark, REF_WARC)
+    rows = {r["url"]: r for r in web.collect()}
+    assert set(rows) == {
+        "http://localhost:8000/",
+        "http://localhost:8000/child/",
+    }
+
+    # persist like a snapshot ingest, then crawl against the table
+    path = str(tmp_path / "web_pages")
+    web.write.parquet(path)
+    result = run_crawl(
+        spark,
+        load_web_pages(spark, path),
+        "http://localhost:8000/",
+        str(tmp_path / "c"),
+    )
+    pages = {r["url"]: r for r in result.store.read_all("pages").collect()}
+    assert set(pages) == set(rows)  # both archive pages crawled
+
+    db = "/root/reference/sample/sample.sqlite3"
+    if os.path.exists(db):
+        con = sqlite3.connect(db)
+        (want_text,) = con.execute(
+            "SELECT text FROM crawler_page WHERE url = ?",
+            ("http://localhost:8000/child/",),
+        ).fetchone()
+        con.close()
+        assert pages["http://localhost:8000/child/"]["text"] == want_text
+    assert pages["http://localhost:8000/"]["title"] == "Sample homepage"
