@@ -5,7 +5,7 @@ inputs pytest examples would never enumerate."""
 
 import string
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from website_indexer_spark.functions.extract import extract_page_fields
@@ -40,12 +40,27 @@ def test_canonicalize_total_and_idempotent(href):
 
 @settings(max_examples=200, deadline=None)
 @given(_url_text, st.sampled_from(["https://h.test/a/b", "http://x.test/"]))
+@example(href="0 #", base="https://h.test/a/b").via("discovered failure")
 def test_canonicalize_with_base_total(href, base):
     out = canonicalize_url(href, base)
     if out is not None:
         assert out.startswith(("http://", "https://"))
         assert canonicalize_url(out) == out
         assert hostname_with_port(out) is not None
+
+
+def test_canonicalize_whitespace_adjacent_fragment_is_fixed_point():
+    """Regression pin for the hypothesis-found round-3 failure: a href
+    whose whitespace sits against the fragment ('0 #') used to
+    canonicalize to 'https://h.test/a/0 ' (trailing space) which
+    re-canonicalized to a *different* string — two byte-forms of one URL
+    in the url-hash seen set, breaking request-once."""
+    out = canonicalize_url("0 #", "https://h.test/a/b")
+    assert out == "https://h.test/a/0"
+    assert canonicalize_url(out) == out
+    # query-side trailing whitespace exposed by fragment strip, too
+    out2 = canonicalize_url("?q=1 #frag", "https://h.test/a/b")
+    assert out2 == canonicalize_url(out2)
 
 
 @settings(max_examples=200, deadline=None)

@@ -204,3 +204,72 @@ def test_stratified_auto_prefilter_undershoot_repair(spark, monkeypatch):
         r["doc_id"] for r in S.stratified_quota(df, "lang", "doc_id", 7).collect()
     )
     assert got == want and len(got) == 7
+
+
+def test_stratified_null_strata_survive_all_paths(spark, monkeypatch):
+    """ADVICE r3 (high): NULL strata must neither self-arm nor be
+    dropped by the repair splice. A big NULL stratum + a deliberately
+    starved margin (forcing the repair path on the armed stratum) used
+    to return a near-empty sample: the NULL stratum self-armed, always
+    landed in `short`, and three-valued isin() NULLed away every
+    healthy stratum from `kept` while excluding NULL rows from the
+    repair. Now the draw matches the unprefiltered draw exactly."""
+    from website_indexer_spark.operators import sampling as S
+
+    monkeypatch.setattr(S, "AUTO_PREFILTER_MIN_STRATUM", 200)
+    monkeypatch.setattr(S, "PREFILTER_MARGIN", 0.01)  # force repair
+    rows = (
+        [(i, "mega") for i in range(4000)]
+        + [(50_000 + i, None) for i in range(3000)]  # big NULL stratum
+        + [(90_000 + i, "tiny") for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    want = sorted(
+        (r["doc_id"], r["lang"])
+        for r in S.stratified_quota(
+            df, "lang", "doc_id", 7, auto_prefilter=False
+        ).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in S.stratified_quota(df, "lang", "doc_id", 7).collect()
+    )
+    assert got == want
+    assert len([g for g in got if g[1] is None]) == 7
+    assert len([g for g in got if g[1] == "mega"]) == 7
+    assert len([g for g in got if g[1] == "tiny"]) == 7
+
+    # caller-supplied counts containing a None key must not arm it
+    counts = {"mega": 4000, None: 3000, "tiny": 30}
+    got2 = sorted(
+        (r["doc_id"], r["lang"])
+        for r in S.stratified_quota(
+            df, "lang", "doc_id", 7, stratum_counts=counts
+        ).collect()
+    )
+    assert got2 == want
+
+
+def test_stratified_null_strata_healthy_prefilter(spark, monkeypatch):
+    """NULL rows also survive the no-repair armed path (they route
+    around the prefilter via the _thr16-isNull branch)."""
+    from website_indexer_spark.operators import sampling as S
+
+    monkeypatch.setattr(S, "AUTO_PREFILTER_MIN_STRATUM", 200)
+    rows = [(i, "mega") for i in range(4000)] + [
+        (50_000 + i, None) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    want = sorted(
+        (r["doc_id"], r["lang"])
+        for r in S.stratified_quota(
+            df, "lang", "doc_id", 5, auto_prefilter=False
+        ).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in S.stratified_quota(df, "lang", "doc_id", 5).collect()
+    )
+    assert got == want
+    assert len([g for g in got if g[1] is None]) == 5

@@ -66,7 +66,13 @@ def canonicalize_url(href: str, base_url: Optional[str] = None) -> Optional[str]
     if port and port != _DEFAULT_PORTS.get(scheme):
         netloc = f"{netloc}:{port}"
     path = split.path or "/"
-    return parse.urlunsplit((scheme, netloc, path, split.query, ""))
+    # The canonical form must be a fixed point of this function: fragment
+    # stripping can expose trailing whitespace (href='0 #') that the input
+    # .strip() would remove on a second pass, letting one URL enter the
+    # seen set under two byte-forms. Strip the final unsplit string so
+    # canonicalize(canonicalize(x)) == canonicalize(x).
+    out = parse.urlunsplit((scheme, netloc, path, split.query, "")).strip()
+    return out or None
 
 
 def unwrap_external_site(url: str, start_host_with_port: str) -> str:

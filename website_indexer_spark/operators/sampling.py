@@ -109,6 +109,21 @@ def stratified_quota(
       ≈ Poisson(MARGIN·n < n) per stratum) are detected by a
       survivor-count check and re-ranked without the prefilter, so
       exactness never depends on luck.
+
+    EAGER-JOB WARNING: unlike a plain transformation, the default
+    ``auto_prefilter=True`` path runs up to TWO Spark jobs at
+    plan-build time — a groupBy().count() over `df` when
+    ``stratum_counts`` is not supplied, and the exactness-check
+    collect over the (cheap, prefiltered) plan — and the returned
+    plan is recomputed on the caller's action. Callers that need a
+    lazy plan should pass ``auto_prefilter=False`` (or precomputed
+    ``stratum_counts``, which removes the count scan). All
+    expressions are deterministic, so the recomputation on action is
+    byte-identical to what the check job saw.
+
+    NULL strata are supported: they never arm a prefilter and are
+    never dropped by the repair splice (null-safe predicates
+    throughout).
     """
     if prefilter_fraction is not None:
         return _rank_quota(
@@ -122,10 +137,16 @@ def stratified_quota(
         stratum_counts = {
             r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
         }
+    # NULL strata never arm: a None key can't survive the broadcast
+    # equi-join (NULL != NULL) or the isin() exactness/repair splices
+    # under three-valued logic, so NULL-stratum rows route AROUND the
+    # prefilter entirely (they pass the _thr16-isNull branch below and
+    # are ranked like any small stratum).
     armed = {
         s: min(1.0, PREFILTER_MARGIN * n_per_stratum / c)
         for s, c in stratum_counts.items()
-        if c >= AUTO_PREFILTER_MIN_STRATUM
+        if s is not None
+        and c >= AUTO_PREFILTER_MIN_STRATUM
         and PREFILTER_MARGIN * n_per_stratum < c
     }
     if not armed:
@@ -173,12 +194,16 @@ def stratified_quota(
     if not short:
         return kept
     # rare undershoot: re-rank just the short strata without the
-    # prefilter and splice them back in
+    # prefilter and splice them back in. `short` never contains None
+    # (armed excludes it), but `kept` can contain NULL-stratum rows:
+    # ~isin(short) is NULL for them under three-valued logic, so the
+    # splice must coalesce to True or every NULL-stratum row vanishes.
     repair = _rank_quota(
         df.where(F.col(strata_col).isin(short)),
         strata_col, key_col, n_per_stratum,
     )
-    return kept.where(~F.col(strata_col).isin(short)).unionByName(repair)
+    keep_pred = F.coalesce(~F.col(strata_col).isin(short), F.lit(True))
+    return kept.where(keep_pred).unionByName(repair)
 
 
 __all__ = ["hash_sample", "stratified_quota"]
