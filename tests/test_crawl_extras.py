@@ -297,3 +297,94 @@ def test_robots_sitemap_does_not_split_groups():
     )
     assert parse_robots_body(body2, "abot") == ["/a"]
     assert parse_robots_body(body2, "bbot") == ["/b"]
+
+
+def test_robots_allow_precedence_parse():
+    """RFC 9309 mode (with_allow=True): Allow lines are kept as
+    ('allow', path) pairs; the default mode still ignores them
+    (reference-parity prefix-only Disallow semantics)."""
+    from website_indexer_spark.operators.policy import parse_robots_body
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok\n"
+        "Allow:\n"          # empty allow: no rule, like empty disallow
+        "Disallow: /tmp\n"
+    )
+    assert parse_robots_body(body) == ["/private/", "/tmp"]
+    assert parse_robots_body(body, with_allow=True) == [
+        ("disallow", "/private/"),
+        ("allow", "/private/ok"),
+        ("disallow", "/tmp"),
+    ]
+    # wildcard-agent + specific-agent groups both contribute
+    body2 = (
+        "User-agent: abot\n"
+        "Allow: /a/deep\n"
+        "Disallow: /a\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /all\n"
+    )
+    assert parse_robots_body(body2, "abot", with_allow=True) == [
+        ("allow", "/a/deep"),
+        ("disallow", "/a"),
+        ("disallow", "/all"),
+    ]
+
+
+def test_robots_allow_precedence_filter(spark):
+    """RFC 9309 §2.2.2 longest-match with Allow winning ties, behind
+    the allow_precedence flag (default off = old behavior, byte-
+    identical)."""
+    from website_indexer_spark.operators.policy import (
+        parse_robots_rules,
+        robots_filter,
+    )
+
+    body = "\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /private/",
+            "Allow: /private/public/",
+            "Disallow: /private/public/secret/",  # longer: wins again
+            "Allow: /dup",
+            "Disallow: /dup",  # equal length: Allow wins
+        ]
+    )
+    bodies = spark.createDataFrame([("h.test", body)], ["host", "body"])
+    rules = parse_robots_rules(bodies, allow_precedence=True)
+    got = {(r["rule"], r["path_prefix"]) for r in rules.collect()}
+    assert got == {
+        ("disallow", "/private/"),
+        ("allow", "/private/public/"),
+        ("disallow", "/private/public/secret/"),
+        ("allow", "/dup"),
+        ("disallow", "/dup"),
+    }
+
+    rows = [
+        ("https://h.test/private/x", "/private/x", False),       # blocked
+        ("https://h.test/private/public/a", "/private/public/a", True),
+        (
+            "https://h.test/private/public/secret/b",
+            "/private/public/secret/b",
+            False,
+        ),
+        ("https://h.test/dup/x", "/dup/x", True),                # tie->allow
+        ("https://h.test/free", "/free", True),                  # no rule
+    ]
+    frontier = spark.createDataFrame(
+        [(u, "h.test", p) for u, p, _ in rows], ["url", "host", "url_path"]
+    )
+    kept = {r["url"] for r in robots_filter(frontier, rules).collect()}
+    assert kept == {u for u, _p, keep in rows if keep}
+
+    # flag off: Allow ignored entirely — /private/public/a AND /dup/x
+    # are blocked by their Disallow prefixes (conservative over-block)
+    legacy = parse_robots_rules(bodies)
+    kept_legacy = {
+        r["url"] for r in robots_filter(frontier, legacy).collect()
+    }
+    assert kept_legacy == {"https://h.test/free"}

@@ -102,3 +102,111 @@ def test_read_warc_and_crawl_matches_reference_db(spark, tmp_path):
         con.close()
         assert pages["http://localhost:8000/child/"]["text"] == want_text
     assert pages["http://localhost:8000/"]["title"] == "Sample homepage"
+
+
+# ---------------- ADVICE r3: wire-format bodies + WARC 1.1 dates -----
+
+
+def _http(status_line, headers, body):
+    head = status_line + "".join(f"\r\n{k}: {v}" for k, v in headers)
+    return head.encode() + b"\r\n\r\n" + body
+
+
+def test_parse_http_response_chunked():
+    from website_indexer_spark.sources.warc import parse_http_response
+
+    body = b"4\r\nWiki\r\n6\r\npedia \r\nA;ext=1\r\nin chunks.\r\n0\r\n\r\n"
+    got = parse_http_response(
+        _http("HTTP/1.1 200 OK", [("Transfer-Encoding", "chunked")], body)
+    )
+    assert got is not None
+    status, headers, out = got
+    assert status == 200 and out == b"Wikipedia in chunks."
+    # broken framing: record dropped, not shipped corrupt
+    assert (
+        parse_http_response(
+            _http(
+                "HTTP/1.1 200 OK",
+                [("Transfer-Encoding", "chunked")],
+                b"ZZ\r\nnot hex\r\n",
+            )
+        )
+        is None
+    )
+    # truncated chunk
+    assert (
+        parse_http_response(
+            _http(
+                "HTTP/1.1 200 OK",
+                [("Transfer-Encoding", "chunked")],
+                b"FF\r\nshort",
+            )
+        )
+        is None
+    )
+
+
+def test_parse_http_response_gzip_and_chunked_gzip():
+    import gzip as _gz
+
+    from website_indexer_spark.sources.warc import parse_http_response
+
+    html = b"<html><title>z</title>compressed body</html>"
+    gz = _gz.compress(html)
+    got = parse_http_response(
+        _http("HTTP/1.1 200 OK", [("Content-Encoding", "gzip")], gz)
+    )
+    assert got is not None and got[2] == html
+    # chunked THEN gzip (transfer coding applied over the content coding)
+    chunked = (
+        hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    got2 = parse_http_response(
+        _http(
+            "HTTP/1.1 200 OK",
+            [("Transfer-Encoding", "chunked"), ("Content-Encoding", "gzip")],
+            chunked,
+        )
+    )
+    assert got2 is not None and got2[2] == html
+    # corrupt gzip: dropped
+    assert (
+        parse_http_response(
+            _http("HTTP/1.1 200 OK", [("Content-Encoding", "gzip")], b"\x1f\x8bxx")
+        )
+        is None
+    )
+
+
+def test_parse_http_response_deflate():
+    import zlib
+
+    from website_indexer_spark.sources.warc import parse_http_response
+
+    html = b"<p>deflated</p>"
+    raw = zlib.compressobj(wbits=-15)
+    variants = [
+        zlib.compress(html),                     # RFC 1950 zlib wrapper
+        raw.compress(html) + raw.flush(),        # raw deflate (some servers)
+    ]
+    for enc in variants:
+        got = parse_http_response(
+            _http("HTTP/1.1 200 OK", [("Content-Encoding", "deflate")], enc)
+        )
+        assert got is not None and got[2] == html
+    assert (
+        parse_http_response(
+            _http("HTTP/1.1 200 OK", [("Content-Encoding", "deflate")], b"junk!")
+        )
+        is None
+    )
+
+
+def test_parse_warc_date_fractional():
+    from website_indexer_spark.sources.warc import _parse_warc_date
+
+    d0 = _parse_warc_date("2024-01-02T03:04:05Z")
+    d1 = _parse_warc_date("2024-01-02T03:04:05.678901Z")
+    assert d0 is not None and d1 is not None
+    assert d1.microsecond == 678901
+    assert _parse_warc_date("not a date") is None

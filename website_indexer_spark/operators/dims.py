@@ -161,17 +161,17 @@ def dim_upsert_delta_bucketed(
             out = pdf.loc[keep_mask, cols]
             if len(out) == 0:
                 continue
-            # sequential first-wins so in-batch duplicates dedup too
-            fresh = []
-            for t in out.itertuples(index=False):
-                t = tuple(t)
-                if t in emitted:
-                    fresh.append(False)
-                else:
-                    emitted.add(t)
-                    fresh.append(True)
-            out = out.loc[fresh]
+            # vectorized first-wins: in-batch duplicates fold via
+            # drop_duplicates (keep='first' preserves arrival order);
+            # the Python set only carries keys across BATCH boundaries,
+            # so its cost is bounded by distinct fresh keys, not rows
+            out = out.drop_duplicates(subset=cols, keep="first")
+            if emitted:
+                out = out.loc[
+                    ~pd.MultiIndex.from_frame(out[cols]).isin(emitted)
+                ]
             if len(out):
+                emitted.update(out.itertuples(index=False, name=None))
                 yield out
 
     inc = incoming.select(*cols).na.drop(subset=cols)

@@ -111,14 +111,24 @@ def accept_url_filter(
     return df
 
 
-def parse_robots_body(body: Optional[str], agent: str = "*") -> List[str]:
-    """One robots.txt body → the Disallow path prefixes that apply to
-    `agent` (lowercase). Pure function — the UDF in
-    `parse_robots_rules` maps it over per-host bodies, and the
-    hypothesis fuzz tests drive it directly."""
+def parse_robots_body(
+    body: Optional[str], agent: str = "*", with_allow: bool = False
+):
+    """One robots.txt body → the rules that apply to `agent`
+    (lowercase). Pure function — the UDF in `parse_robots_rules` maps
+    it over per-host bodies, and the hypothesis fuzz tests drive it
+    directly.
+
+    Default (with_allow=False, reference-parity mode): a list of
+    Disallow path prefixes; Allow lines are ignored (prefix-only
+    Disallow semantics — conservative for a crawler: over-blocking is
+    safe, under-blocking is not; the reference itself runs --no-robots
+    so no parity is at stake). with_allow=True (the RFC 9309 mode):
+    a list of ('allow'|'disallow', path) pairs, so the filter can
+    apply longest-match precedence with Allow winning ties (§2.2.2)."""
     if body is None:
         return []
-    rules: List[str] = []
+    rules: list = []
     group_agents: List[str] = []
     in_rules = False  # inside a group's rule lines
     applies = False
@@ -139,9 +149,13 @@ def parse_robots_body(body: Optional[str], agent: str = "*") -> List[str]:
         elif key == "disallow":
             in_rules = True
             if applies and val:
-                rules.append(val)
-        elif key in ("allow", "crawl-delay"):
+                rules.append(("disallow", val) if with_allow else val)
+        elif key == "allow":
             in_rules = True  # still terminates the agent run
+            if with_allow and applies and val:
+                rules.append(("allow", val))
+        elif key == "crawl-delay":
+            in_rules = True
         # RFC 9309 §2.2.4: sitemap (and other non-group directives) do
         # NOT split adjacent user-agent groups — 'User-agent: a /
         # Sitemap: x / User-agent: b / Disallow: /p' must give agent a
@@ -154,6 +168,7 @@ def parse_robots_rules(
     host_col: str = "host",
     body_col: str = "body",
     agent: str = "*",
+    allow_precedence: bool = False,
 ) -> DataFrame:
     """robots.txt bodies → the (host, path_prefix) Disallow table
     `robots_filter` consumes, completing A12 for real-fetch mode.
@@ -170,6 +185,13 @@ def parse_robots_rules(
     One Arrow-batched UDF pass (robots bodies are per-host — thousands
     of short strings, never corpus-scale) then an explode; the output
     is broadcast-sized by construction.
+
+    allow_precedence=True (RFC 9309 mode, default OFF to preserve
+    reference parity — the reference runs --no-robots entirely):
+    Allow lines are kept and the output gains a ``rule`` column
+    ('allow'|'disallow') so ``robots_filter`` can apply §2.2.2
+    longest-match precedence. Paths stay prefix-semantics (no * / $
+    wildcards) in both modes.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -184,21 +206,81 @@ def parse_robots_rules(
     def parse_udf(bodies):
         return bodies.map(lambda b: parse_robots_body(b, want))
 
+    if not allow_precedence:
+        return (
+            robots_bodies.select(
+                F.col(host_col).alias("host"),
+                F.explode(parse_udf(F.col(body_col))).alias("path_prefix"),
+            )
+            .distinct()
+        )
+
+    # RFC mode: encode (rule, path) as 'rule\npath' inside the UDF —
+    # robots values are line-split upstream so a path can never
+    # contain '\n' — then split once on the JVM side.
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def parse_rfc_udf(bodies):
+        return bodies.map(
+            lambda b: [
+                f"{kind}\n{path}"
+                for kind, path in parse_robots_body(b, want, with_allow=True)
+            ]
+        )
+
+    pair = F.split(F.col("_enc"), "\n", 2)
     return (
         robots_bodies.select(
             F.col(host_col).alias("host"),
-            F.explode(parse_udf(F.col(body_col))).alias("path_prefix"),
+            F.explode(parse_rfc_udf(F.col(body_col))).alias("_enc"),
+        )
+        .select(
+            "host",
+            pair.getItem(0).alias("rule"),
+            pair.getItem(1).alias("path_prefix"),
         )
         .distinct()
     )
 
 
 def robots_filter(frontier: DataFrame, robots: Optional[DataFrame]) -> DataFrame:
-    """A12: optional robots gating — ``robots(host, path_prefix)`` is a
-    small Disallow table; broadcast anti-join on host + prefix match.
-    Default OFF to match the reference's --no-robots."""
+    """A12: optional robots gating — ``robots`` is a small rules table;
+    broadcast join on host + prefix match. Default OFF to match the
+    reference's --no-robots.
+
+    Two rule-table shapes, discriminated by schema:
+    * (host, path_prefix) — Disallow-only prefix semantics (reference-
+      parity mode, what ``parse_robots_rules`` emits by default).
+    * (host, rule, path_prefix) — RFC 9309 mode (parse_robots_rules
+      with allow_precedence=True): for each URL the LONGEST matching
+      rule wins; on equal lengths Allow wins (§2.2.2), and a URL with
+      no matching rule is allowed. Expressed as one broadcast inner
+      join + a per-URL max() of match lengths per rule type — still
+      zero frontier-side shuffles beyond the aggregation on the
+      (wave-bounded) matched subset."""
     if robots is None:
         return frontier
+    if "rule" in robots.columns:
+        matched = frontier.select("url", "host", "url_path").alias("f").join(
+            F.broadcast(robots.alias("r")),
+            (F.col("f.host") == F.col("r.host"))
+            & F.col("f.url_path").startswith(F.col("r.path_prefix")),
+            "inner",
+        )
+        plen = F.length(F.col("r.path_prefix"))
+        disallowed = (
+            matched.groupBy(F.col("f.url").alias("url"))
+            .agg(
+                F.max(
+                    F.when(F.col("r.rule") == "disallow", plen).otherwise(-1)
+                ).alias("_d"),
+                F.max(
+                    F.when(F.col("r.rule") == "allow", plen).otherwise(-1)
+                ).alias("_a"),
+            )
+            .filter(F.col("_d") > F.col("_a"))  # allow wins ties
+            .select("url")
+        )
+        return frontier.join(F.broadcast(disallowed), "url", "left_anti")
     disallowed = (
         frontier.alias("f")
         .join(

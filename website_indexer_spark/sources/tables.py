@@ -82,6 +82,16 @@ SEEN_SCHEMA = T.StructType(
 # partition transform. 8 buckets keeps local file counts sane; a
 # deployment sizes this so one bucket's hash column fits a task
 # (~4096 buckets at 10^10 seen keys = ~20 MB/task).
+#
+# These module values are only the DEFAULTS for newly created stores:
+# the layout is physical, so the effective counts are store-level
+# config persisted in <root>/store_meta.json at creation, validated on
+# open (a mismatching explicit count raises), and threaded through the
+# crawl/compaction via CrawlStore.seen_buckets / .dims_buckets.
+# Changing a live store's count = a compaction rewrite
+# (CrawlStore.rebucket); the bucketed fast paths disable themselves
+# while a rebucket is pending, so a crash mid-rewrite can never
+# mis-bucket a probe.
 SEEN_BUCKETS = 8
 
 # The dims table gets the same treatment, sub-partitioned
@@ -271,6 +281,17 @@ class TableBackend:
         """Committed parquet files of ``name`` grouped by their
         ``bucket=B`` partition value — the storage-partitioned join's
         unit of work (Iceberg: per-bucket data files from the manifest)."""
+        raise NotImplementedError
+
+    def bucketed_layout_ok(self, name: str) -> bool:
+        """True iff EVERY committed parquet file of ``name`` sits under
+        a ``bucket=`` partition dir — i.e. ``bucketed_files`` sees the
+        whole committed table. A store written before the bucketed
+        layout existed (flat superstep dirs) returns False and callers
+        must fall back to the scanned anti-join / streamed MERGE, or
+        run ``compact()`` (whose augment recomputes buckets) first —
+        otherwise the storage-partitioned probe would silently forget
+        those committed keys (ADVICE r3)."""
         raise NotImplementedError
 
 
@@ -505,6 +526,27 @@ class ParquetManifestBackend(TableBackend):
                         )
         return out
 
+    def bucketed_layout_ok(self, name: str) -> bool:
+        tdir = os.path.join(self.root, name)
+        last = self.last_committed()
+        if not os.path.isdir(tdir):
+            return True  # empty table: vacuously bucketed
+        for entry in os.listdir(tdir):
+            if not entry.startswith("superstep="):
+                continue
+            if int(entry.split("=", 1)[1]) > last:
+                continue
+            base = os.path.join(tdir, entry)
+            for dirpath, _dirs, files in os.walk(base):
+                if not any(f.endswith(".parquet") for f in files):
+                    continue
+                rel = os.path.relpath(dirpath, base)
+                if not any(
+                    seg.startswith("bucket=") for seg in rel.split(os.sep)
+                ):
+                    return False
+        return True
+
     def compact_table(
         self, name: str, schema: T.StructType, partition_by=None, augment=None
     ) -> Dict[str, int]:
@@ -582,10 +624,125 @@ class CrawlStore:
         spark: SparkSession,
         root: str,
         backend: Optional[TableBackend] = None,
+        seen_buckets: Optional[int] = None,
+        dims_buckets: Optional[int] = None,
     ):
         self.spark = spark
         self.root = root
         self.backend = backend or ParquetManifestBackend(spark, root)
+        self._init_meta(seen_buckets, dims_buckets)
+
+    # --- store meta (physical-layout config) -----------------------
+    # The bucket counts are LAYOUT, not session config: a probe run
+    # with a different count than the files were written with silently
+    # mis-buckets. So they are fixed at store creation, persisted in
+    # store_meta.json, and validated on every open.
+    def _meta_file(self) -> str:
+        return os.path.join(self.root, "store_meta.json")
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._meta_file())
+        self._meta = meta
+
+    def _init_meta(
+        self, seen_buckets: Optional[int], dims_buckets: Optional[int]
+    ) -> None:
+        path = self._meta_file()
+        if os.path.exists(path):
+            with open(path) as f:
+                meta = json.load(f)
+            for arg, key in (
+                (seen_buckets, "seen_buckets"),
+                (dims_buckets, "dims_buckets"),
+            ):
+                if arg is not None and arg != meta.get(key):
+                    raise ValueError(
+                        f"{key} mismatch: store at {self.root} was "
+                        f"created with {key}={meta.get(key)} (physical "
+                        f"layout), got {arg}. Re-bucket with "
+                        f"CrawlStore.rebucket(), which rewrites the "
+                        f"layout via compaction."
+                    )
+            self._meta = meta
+            return
+        if self.backend.last_committed() >= 0:
+            # legacy store (committed data, no meta): its layout was
+            # written with the module defaults — an explicit differing
+            # count would mis-bucket the probe
+            for arg, key, default in (
+                (seen_buckets, "seen_buckets", SEEN_BUCKETS),
+                (dims_buckets, "dims_buckets", DIMS_BUCKETS),
+            ):
+                if arg is not None and arg != default:
+                    raise ValueError(
+                        f"store at {self.root} predates store_meta.json "
+                        f"and its layout used the default {key}="
+                        f"{default}; cannot open with {key}={arg} — "
+                        f"open with the default, then rebucket()."
+                    )
+            seen_buckets, dims_buckets = SEEN_BUCKETS, DIMS_BUCKETS
+        self._write_meta(
+            {
+                "layout_version": 2,
+                "seen_buckets": int(seen_buckets or SEEN_BUCKETS),
+                "dims_buckets": int(dims_buckets or DIMS_BUCKETS),
+            }
+        )
+
+    @property
+    def seen_buckets(self) -> int:
+        return int(self._meta["seen_buckets"])
+
+    @property
+    def dims_buckets(self) -> int:
+        return int(self._meta["dims_buckets"])
+
+    def bucketed_path_available(self, name: str) -> bool:
+        """Whether the storage-partitioned fast path may be used for
+        ``name``: False while a rebucket is pending (counts in meta may
+        not match files on disk yet) or when any committed file sits
+        outside a bucket= dir (legacy flat layout). Callers fall back
+        to the scanned anti-join / streamed MERGE — exact either way,
+        only the physical strategy differs."""
+        pending = self._meta.get("rebucket_pending") or []
+        if name in pending:
+            return False
+        return self.backend.bucketed_layout_ok(name)
+
+    def rebucket(
+        self,
+        seen_buckets: Optional[int] = None,
+        dims_buckets: Optional[int] = None,
+    ) -> Dict[str, Dict[str, int]]:
+        """Change the physical bucket count(s) — a compaction rewrite.
+        Crash-safe ordering: the new counts land in the meta FIRST
+        together with a pending flag (which disables the bucketed fast
+        paths), then each affected table is rewritten (compact's
+        augment recomputes buckets from the new count), then the flag
+        clears. A crash at any point leaves a store that is correct,
+        merely slower, until rebucket()/compact() is re-run."""
+        targets: Dict[str, int] = {}
+        if seen_buckets is not None and seen_buckets != self.seen_buckets:
+            targets["seen"] = int(seen_buckets)
+        if dims_buckets is not None and dims_buckets != self.dims_buckets:
+            targets["dims"] = int(dims_buckets)
+        if not targets:
+            return {}
+        meta = dict(self._meta)
+        for name, n in targets.items():
+            meta[f"{name}_buckets"] = n
+        meta["rebucket_pending"] = sorted(
+            set(meta.get("rebucket_pending") or []) | set(targets)
+        )
+        self._write_meta(meta)
+        results = self.compact(tables=sorted(targets))
+        meta = dict(self._meta)
+        meta.pop("rebucket_pending", None)
+        self._write_meta(meta)
+        return results
 
     # --- backend pass-throughs ------------------------------------
     def write_delta(
@@ -666,18 +823,22 @@ class CrawlStore:
                 schema, pb = ROUTED_SCHEMA, ["record_type"]
             elif name == "dims":
                 # preserve the kind + hash-bucket layout (bucket is
-                # derived, so recompute it through the rewrite)
+                # derived, so recompute it through the rewrite with the
+                # STORE's configured count — this is also how rebucket()
+                # and legacy flat-layout repair materialize)
+                nb = self.dims_buckets
                 schema, pb = _DELTA_SCHEMAS[name], ["kind", "bucket"]
-                augment = lambda df: df.withColumn(  # noqa: E731
+                augment = lambda df, nb=nb: df.withColumn(  # noqa: E731
                     "bucket",
-                    F.pmod(F.xxhash64("kind", "key"), F.lit(DIMS_BUCKETS)),
+                    F.pmod(F.xxhash64("kind", "key"), F.lit(nb)),
                 )
             else:
                 # seen: preserve the hash-bucketed layout through the
                 # rewrite (bucket is derived, so recompute it)
+                nb = self.seen_buckets
                 schema, pb = _DELTA_SCHEMAS[name], ["bucket"]
-                augment = lambda df: df.withColumn(  # noqa: E731
-                    "bucket", F.pmod(F.col("url_hash"), F.lit(SEEN_BUCKETS))
+                augment = lambda df, nb=nb: df.withColumn(  # noqa: E731
+                    "bucket", F.pmod(F.col("url_hash"), F.lit(nb))
                 )
             results[name] = self.backend.compact_table(
                 name, schema, partition_by=pb, augment=augment

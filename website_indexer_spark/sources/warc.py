@@ -78,9 +78,46 @@ def iter_warc_records(blob: bytes) -> Iterator[Tuple[dict, bytes]]:
         pos = body_start + length
 
 
+def _dechunk(body: bytes) -> Optional[bytes]:
+    """Decode a Transfer-Encoding: chunked message body (RFC 9112 §7.1:
+    hex-size CRLF data CRLF ..., terminated by a 0-size chunk; chunk
+    extensions after ';' ignored, trailers dropped). Returns None on
+    framing errors — the caller drops the record rather than ship
+    chunk-size framing into web_pages.html (ADVICE r3)."""
+    out = []
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out)  # trailers (if any) ignored
+        if pos + size > n:
+            return None  # truncated chunk
+        out.append(body[pos : pos + size])
+        pos += size
+        if body[pos : pos + 2] != b"\r\n":
+            return None
+        pos += 2
+
+
 def parse_http_response(payload: bytes):
     """Raw HTTP/1.x response message → (status_code, headers_lower,
-    body). Returns None for non-HTTP payloads."""
+    body). Returns None for non-HTTP payloads.
+
+    WARC response records store the bytes as sent on the wire, so the
+    body may still carry Transfer-Encoding: chunked framing and/or
+    Content-Encoding: gzip compression (wget/wpull archive raw
+    responses) — both are decoded here; a body whose declared framing
+    cannot be decoded returns None rather than flowing corrupt bytes
+    into extraction (ADVICE r3)."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
         head, body = payload, b""
@@ -101,6 +138,26 @@ def parse_http_response(payload: bytes):
             headers[key.strip().lower().decode("latin-1")] = (
                 val.strip().decode("latin-1")
             )
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+        if body is None:
+            return None
+    cenc = headers.get("content-encoding", "").lower().strip()
+    if cenc in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except (OSError, EOFError):
+            return None
+    elif cenc == "deflate":
+        import zlib
+
+        try:  # RFC 1950 zlib wrapper, with the raw-deflate fallback
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error:
+                return None
     return status, headers, body
 
 
@@ -112,12 +169,14 @@ def _strip_uri(uri: str) -> str:
 def _parse_warc_date(val: Optional[str]):
     if not val:
         return None
-    try:
-        return datetime.strptime(val, "%Y-%m-%dT%H:%M:%SZ").replace(
-            tzinfo=timezone.utc
-        )
-    except ValueError:
-        return None
+    # WARC 1.0 writes second precision; WARC 1.1 (ISO 28500:2017)
+    # allows fractional seconds — accept both (ADVICE r3)
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return datetime.strptime(val, fmt).replace(tzinfo=timezone.utc)
+        except ValueError:
+            continue
+    return None
 
 
 def warc_file_to_rows(blob: bytes) -> Iterator[tuple]:

@@ -37,16 +37,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from website_indexer_spark.functions.urltools import hostname_with_port
-from website_indexer_spark.operators.frontier import URL_HASH, anti_join_seen
+from website_indexer_spark.operators.frontier import (
+    URL_HASH,
+    StripedBloom,
+    anti_join_seen,
+    anti_join_seen_bucketed,
+)
 from website_indexer_spark.operators.policy import CrawlPolicy
 from website_indexer_spark.plans.crawl import (
+    BLOOM_AUTO_SEEN_THRESHOLD,
+    BROADCAST_FETCH_THRESHOLD,
+    DELTA_WRITE_SINGLE_TASK_MAX,
     fetch_sim_join,
     harvest_candidates,
+    maintain_bloom,
     route_and_extract,
     routed_projection,
     with_effective_status,
 )
-from website_indexer_spark.sources.tables import SEEN_BUCKETS, CrawlStore
+from website_indexer_spark.sources.tables import CrawlStore
 
 
 def crawl_stream_step(
@@ -77,8 +86,39 @@ def crawl_stream_step(
         store.rollback_uncommitted()  # replayed batch: drop torn delta
         k = store.last_committed() + 1
 
+        # cumulative requested count from the manifest counters — the
+        # same free sizing signal the batch driver threads through its
+        # loop (at 10^5 supersteps these are driver-side JSON reads;
+        # a deployment caches the running sum in the latest manifest)
+        requested_total = sum(
+            m["counters"].get("requested", 0) for m in store.manifests()
+        )
+        bloom = (
+            StripedBloom.load(out_dir)
+            if requested_total >= BLOOM_AUTO_SEEN_THRESHOLD
+            else None
+        )
+        n_in = batch_df.count()
         seen = store.read_all("seen").select("url_hash")
-        wave = anti_join_seen(batch_df, seen)
+        # the batch driver's threshold switch (VERDICT r3 next #4):
+        # broadcastable batches take the broadcast anti-join; above the
+        # threshold the storage-partitioned bucketed probe (no seen-side
+        # scan or exchange) when the layout supports it, else the exact
+        # scanned fallback
+        seen_bucketed_ok = store.bucketed_path_available("seen")
+        if n_in <= BROADCAST_FETCH_THRESHOLD:
+            wave = anti_join_seen(batch_df, seen, bloom)
+        elif seen_bucketed_ok:
+            wave = anti_join_seen_bucketed(
+                batch_df,
+                store.seen_bucket_files(),
+                store.seen_buckets,
+                bloom=bloom,
+            )
+        else:
+            wave = anti_join_seen(
+                batch_df, seen, bloom, broadcast_frontier=False
+            )
         # within-batch dedup: first observer in BFS order wins
         w = Window.partitionBy("url").orderBy("depth", "discovery_seq")
         wave = (
@@ -94,6 +134,17 @@ def crawl_stream_step(
             seen_delta = wave.select(
                 URL_HASH(F.col("url")).alias("url_hash"), "url"
             )
+            delta_keys = seen_delta.select("url_hash")
+            # OR this wave into the persistent Bloom BEFORE the commit
+            # (superset invariant), exactly like the batch driver
+            bloom = maintain_bloom(
+                out_dir,
+                bloom,
+                seen.unionByName(delta_keys),
+                delta_keys,
+                requested_total + n,
+                n,
+            )
             fetched, _ = fetch_sim_join(lookup, wave, n)
             fetched = with_effective_status(fetched)
             extracted = route_and_extract(fetched, start_host).persist()
@@ -104,20 +155,32 @@ def crawl_stream_step(
                     k,
                     partition_by=["record_type"],
                 )
-                store.write_delta(
-                    "seen",
-                    seen_delta.withColumn(
-                        "bucket", F.pmod(F.col("url_hash"), F.lit(SEEN_BUCKETS))
-                    ).coalesce(1),
-                    k,
-                    partition_by=["bucket"],
-                )
+                # same single-task/parallel switch as the batch driver
+                # (VERDICT r3 #2): one file per bucket either way. A
+                # legacy flat store keeps receiving flat deltas (mixed
+                # flat/bucketed supersteps break partition discovery)
+                # until compact() rewrites the layout.
+                if seen_bucketed_ok:
+                    seen_out = seen_delta.withColumn(
+                        "bucket",
+                        F.pmod(F.col("url_hash"), F.lit(store.seen_buckets)),
+                    )
+                    if n > DELTA_WRITE_SINGLE_TASK_MAX:
+                        seen_out = seen_out.repartition(
+                            store.seen_buckets, F.col("bucket")
+                        )
+                    else:
+                        seen_out = seen_out.coalesce(1)
+                    seen_pb = ["bucket"]
+                else:
+                    seen_out, seen_pb = seen_delta.coalesce(1), None
+                store.write_delta("seen", seen_out, k, partition_by=seen_pb)
                 if emit_discovered is not None:
                     accepted = harvest_candidates(
                         extracted, start_host, pol, robots, depth_cap
                     )
                     accepted = anti_join_seen(
-                        accepted, seen.unionByName(seen_delta.select("url_hash"))
+                        accepted, seen.unionByName(delta_keys)
                     )
                     emit_discovered(accepted, k)
                 counts = store.footer_counts("routed", k)
