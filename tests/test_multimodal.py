@@ -177,3 +177,34 @@ def test_real_decoder_raises_through_spark_path(spark, media_df):
         mm.image_features(media_df, decoder="real").collect()
     with pytest.raises(ValueError, match="decoder must be"):
         mm.image_features(media_df, decoder="nope")
+
+
+def test_media_features_codec_gate_matches_duckdb(spark):
+    """The driver's media_features_codec oracle gate, pinned as a
+    pytest: the injected engine-reproducible codec's decode -> stats
+    -> histogram -> thumbnail output equals DuckDB's closed-form
+    reconstruction from the same documents rows."""
+    import duckdb
+
+    from website_indexer_spark.plans.catalog import ORACLE_SQL, SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    spdf = (
+        SPARK_QUERIES["media_features_codec"](spark, sf)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    odf = (
+        con.execute(ORACLE_SQL["media_features_codec"])
+        .df()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(spdf) == len(odf) > 0
+    for c in spdf.columns:
+        assert (spdf[c].astype(str) == odf[c].astype(str)).all(), c

@@ -210,3 +210,43 @@ def test_parse_warc_date_fractional():
     assert d0 is not None and d1 is not None
     assert d1.microsecond == 678901
     assert _parse_warc_date("not a date") is None
+
+
+def test_warc_ingest_gate_matches_duckdb(spark):
+    """The driver's warc_ingest oracle gate, pinned as a pytest:
+    synthetic archives (chunked/gzip/identity, redirects, WARC 1.1
+    dates, warcinfo records, gzip+plain shards) decode back to exactly
+    the table DuckDB reconstructs from the source rows."""
+    import duckdb
+
+    from website_indexer_spark.plans.catalog import ORACLE_SQL, SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    spdf = (
+        SPARK_QUERIES["warc_ingest"](spark, sf)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    odf = (
+        con.execute(ORACLE_SQL["warc_ingest"])
+        .df()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(spdf) == len(odf) > 0
+    for c in spdf.columns:
+        a = spdf[c].fillna("~N~").astype(str)
+        b = odf[c].fillna("~N~").astype(str)
+        assert (a == b).all(), c
+    # the encodings really were exercised
+    from website_indexer_spark.sources.warc import synth_warc_plan
+
+    plans = [synth_warc_plan(i) for i in range(50)]
+    assert {p["encoding"] for p in plans} == {"chunked", "gzip", "identity"}
+    assert any(p["redirect"] for p in plans)
+    assert any(p["frac_date"] for p in plans)

@@ -63,6 +63,34 @@ CHECKS = {
         ("query side broadcast (no shuffle of the corpus for the join)",
          lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
     ],
+    "ann_lsh": [
+        ("banding candidate join is an equi hash join on (band, code) "
+         "— never a cartesian / nested loop over the corpus",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("all joins broadcast the small side; only TWO hash exchanges "
+         "total (candidate-pair distinct + final top-k window), both "
+         "moving id/score rows — corpus vectors never cross a shuffle",
+         lambda p: p.count("Arguments: hashpartitioning") == 2
+         and "BroadcastHashJoin" in p),
+        ("per-query top-k pre-pruned below the window shuffle",
+         lambda p: "WindowGroupLimit" in p and "Partial" in p),
+        ("band-code sketches are Arrow-batched MapInPandas",
+         lambda p: "MapInPandas" in p),
+    ],
+    "ann_ivf": [
+        ("cell candidate join is an equi hash join on centroid — "
+         "never a cartesian / nested loop over the corpus",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("all joins broadcast the small side; only TWO hash exchanges "
+         "total (candidate-pair distinct + final top-k window), both "
+         "moving id/score rows — corpus vectors never cross a shuffle",
+         lambda p: p.count("Arguments: hashpartitioning") == 2
+         and "BroadcastHashJoin" in p),
+        ("per-query top-k pre-pruned below the window shuffle",
+         lambda p: "WindowGroupLimit" in p and "Partial" in p),
+        ("centroid assignment is an Arrow-batched MapInPandas",
+         lambda p: "MapInPandas" in p),
+    ],
     "hash_sample": [
         ("pure narrow filter: zero exchanges, sample decided per-row",
          lambda p: "Exchange" not in p),

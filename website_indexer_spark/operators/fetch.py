@@ -43,13 +43,22 @@ READ_TIMEOUT_S = 30.0  # --timeout read/session (crawler.py:40-41)
 DEFAULT_WAIT_S = 0.5  # --wait (crawler.py:36)
 
 # wpull inherits wget's transient-retry loop and the reference's argv
-# (crawler.py:28-51) leaves --tries at its default instead of
+# (crawler.py:28-51) leaves --tries at its default (20) instead of
 # disabling it, so connect/read failures are retried with a growing
 # wait BEFORE the plugin ever records its single terminal Error row
 # (plugin.py:170-185). Bounded parity here: DEFAULT_TRIES attempts
 # with linear backoff (wget --waitretry semantics: wait 1s, 2s, ...
 # capped), retrying network errors (status 0); 5xx retry is opt-in
 # via retry_statuses.
+#
+# DELIBERATE deviation from wget's tries=20 (ADVICE r3): a serial
+# wget process can afford 20 attempts (~100s of backoff) on one dead
+# URL; a batched executor task cannot — one dead host would pin a
+# whole fetch partition for minutes and serialize the wave's tail,
+# so the default budget is 3 attempts (≤3s backoff) and the terminal
+# Error row (what the reference persists) is identical either way.
+# Deployments that want full wget parity pass tries=20 through
+# real_fetch — the loop itself implements wget's exact semantics.
 DEFAULT_TRIES = 3
 RETRY_BACKOFF_S = 1.0
 RETRY_BACKOFF_CAP_S = 10.0

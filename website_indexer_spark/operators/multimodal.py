@@ -317,6 +317,23 @@ def payload_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def oracle_codec(payload: bytes, kind: str, meta) -> np.ndarray:
+    """An *injected* codec (the ``decoder=<callable>`` seam) whose
+    decode is reproducible by any engine: every pixel equals the first
+    byte of md5(payload). Exists so the media FEATURE pass — decode →
+    luma mean → histogram → nearest-neighbor thumbnail, through Arrow
+    batches — gets a hash-green DuckDB gate (``media_features_codec``)
+    instead of only the rows-only check the numpy-RNG fake decoder
+    allows: mean_luma == seed exactly, the histogram's single hot bin
+    is seed//16 with h·w hits, and the thumbnail hex is the seed's two
+    hex chars repeated — all closed-form in SQL."""
+    seed = int(hashlib.md5(payload or b"").hexdigest()[:2], 16)
+    w = _meta_int(meta, "width", 32)
+    h = _meta_int(meta, "height", 32)
+    c = _meta_int(meta, "channels", 3)
+    return np.full((h, w, c), seed, dtype=np.uint8)
+
+
 def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic synthetic media table for tests/bench: payload
     bytes are hash-derived, kinds round-robin image/audio/video."""

@@ -555,6 +555,26 @@ def q_media_features(spark, sf):  # no SQL mirror (fake decode is numpy-side)
     )
 
 
+def q_media_features_codec(spark, sf):
+    """The SAME image-feature plan as q_media_features but through the
+    injectable ``decoder=<callable>`` seam with a codec whose decode is
+    engine-reproducible (multimodal.oracle_codec) — turning the decode
+    → stats → histogram → thumbnail pass into a hash-green gate."""
+    media = multimodal.media_from_documents(_t(spark, sf, "documents"))
+    feats = multimodal.image_features(
+        media, thumb=8, decoder=multimodal.oracle_codec
+    )
+    return feats.select(
+        "media_id",
+        "mean_luma",
+        (F.expr("array_position(histogram, array_max(histogram))") - 1)
+        .cast("int")
+        .alias("hist_bin"),
+        F.array_max("histogram").alias("hist_count"),
+        F.lower(F.hex("thumbnail")).alias("thumb_hex"),
+    )
+
+
 def q_lang_id(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", ts.lang_id(F.col("text")).alias("pred_lang")
@@ -611,6 +631,45 @@ def q_embedding_dup_pairs_lsh(spark, sf):  # no SQL mirror (approximate)
     ).select("a", "b")
 
 
+def q_warc_ingest(spark, sf):
+    """SURVEY §9.12 WARC source as a first-class oracle gate (VERDICT
+    r3 #7): deterministic synthetic archives built from the documents
+    table (chunked / gzip / identity bodies, 301 redirects, WARC 1.1
+    fractional dates, warcinfo records to skip, gzip AND plain shards)
+    → read_warc → decoded url/epoch/status/location/content_type +
+    body md5, hash-matched against the DuckDB oracle that reconstructs
+    the same table from the source rows. The md5 equality proves the
+    wire decodings (de-chunk, gunzip) are byte-exact."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from website_indexer_spark.sources.warc import (
+        read_warc,
+        synthesize_warc_files,
+    )
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(300)
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]  # ≤300: driver-sized
+    tag = hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:10]
+    out_dir = _os.path.join(tempfile.gettempdir(), f"wi_spark_warc_gate_{tag}")
+    synthesize_warc_files(rows, out_dir)
+    parsed = read_warc(spark, out_dir + "/synth-*")
+    return parsed.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        "status_code",
+        "location",
+        "content_type",
+        F.md5(F.col("html")).alias("body_md5"),
+    )
+
+
 SPARK_QUERIES: Dict[str, SparkQuery] = {
     "search_empty": q_search_empty,
     "search_text": q_search_text,
@@ -647,6 +706,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "topk_terms": q_topk_terms,
     "media_meta": q_media_meta,
     "media_features": q_media_features,
+    "media_features_codec": q_media_features_codec,
     "decontam_report": q_decontam_report,
     "distinctive_terms": q_distinctive_terms,
     "pretrain_pipeline": q_pretrain_pipeline,
@@ -661,6 +721,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "ann_ivf": q_ann_ivf,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
+    "warc_ingest": q_warc_ingest,
 }
 
 
@@ -1011,6 +1072,29 @@ ORACLE_SQL: Dict[str, str] = {
     """,
     # media_features: rows-only (the fake decoder's numpy RNG features
     # have no SQL mirror; determinism pinned in tests/test_multimodal.py)
+    # media_features_codec: the SAME plan with the injected
+    # engine-reproducible codec (constant image = first md5 byte of the
+    # payload), so decode -> mean -> histogram -> thumbnail closes in
+    # SQL: mean_luma = seed, hot bin = seed//16 with w*h hits, thumb
+    # hex = the seed's two hex chars x 8*8*3.
+    "media_features_codec": """
+        WITH s AS (
+          SELECT doc_id,
+                 (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+                   AS seed,
+                 (16 + (doc_id % 4) * 8) AS w,
+                 (16 + (doc_id % 3) * 8) AS h,
+                 substr(md5(text), 1, 2) AS seed_hex
+          FROM documents
+        )
+        SELECT doc_id AS media_id,
+               CAST(seed AS DOUBLE) AS mean_luma,
+               CAST(seed // 16 AS INT) AS hist_bin,
+               CAST(w * h AS BIGINT) AS hist_count,
+               repeat(seed_hex, 192) AS thumb_hex
+        FROM s
+    """,
     "topk_terms": r"""
         WITH tok AS (
           SELECT doc_id AS doc,
@@ -1093,6 +1177,33 @@ ORACLE_SQL: Dict[str, str] = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+    # The WARC gate's oracle reconstructs the decoded table straight
+    # from the source rows using the same doc_id arithmetic as
+    # sources/warc.py synth_warc_plan (every 10th doc a 301 redirect
+    # with no body; others text/html with the deterministic synthetic
+    # html whose md5 must survive the chunked/gzip wire decodings).
+    "warc_ingest": """
+        WITH docs AS (
+          SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 300
+        )
+        SELECT
+          'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.test/doc/'
+            || CAST(doc_id AS VARCHAR) AS url,
+          CAST(epoch(TIMESTAMP '2024-01-01 00:00:00'
+                     + doc_id * INTERVAL 1 SECOND) AS BIGINT) AS warc_epoch,
+          CASE WHEN doc_id % 10 = 0 THEN 301 ELSE 200 END AS status_code,
+          CASE WHEN doc_id % 10 = 0 THEN
+            'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.test/doc/'
+              || CAST(doc_id AS VARCHAR) || '/moved'
+          END AS location,
+          CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 'text/html' END
+            AS content_type,
+          CASE WHEN doc_id % 10 = 0 THEN NULL ELSE
+            md5('<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                || '</title></head><body>' || text || '</body></html>')
+          END AS body_md5
+        FROM docs
     """,
     # dedup_simhash, fingerprint_overlap, ann_lsh, ann_ivf,
     # embedding_dup_pairs_lsh: approximate/custom-sketch operators with

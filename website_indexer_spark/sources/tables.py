@@ -328,6 +328,129 @@ class IcebergBackend(TableBackend):
             "commit semantics on bare parquet."
         )
 
+    # -- deployment wiring as PURE string emitters (VERDICT r3 #9):
+    # nothing below needs jars, so the exact statements a deployment
+    # would run are pinned by tests/test_iceberg_contract.py goldens
+    # instead of trusted prose.
+
+    _SQL_TYPES = {  # keyed by DataType.simpleString()
+        "string": "STRING",
+        "bigint": "BIGINT",
+        "int": "INT",
+        "timestamp": "TIMESTAMP",
+        "binary": "BINARY",
+        "array<string>": "ARRAY<STRING>",
+    }
+
+    # partition spec per logical table: superstep first (every reader
+    # prunes on it), then the same layout keys ParquetManifestBackend
+    # encodes as directories — bucket(N, ...) is Iceberg's native form
+    # of the hash-bucketed seen/dims layout the storage-partitioned
+    # anti-join/MERGE probes.
+    _PARTITION_SPECS = {
+        "routed": ("superstep", "record_type"),
+        "seen": ("superstep", "bucket({seen_buckets}, url_hash)"),
+        "dims": ("superstep", "kind", "bucket({dims_buckets}, key)"),
+        "frontier": ("superstep",),
+    }
+
+    @classmethod
+    def session_conf(
+        cls,
+        warehouse: str,
+        catalog: str = "crawl",
+        version: str = "1.10.0",
+        catalog_type: str = "hadoop",
+    ) -> Dict[str, str]:
+        """The spark-submit --conf set that activates this backend."""
+        return {
+            "spark.jars.packages": (
+                "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:"
+                + version
+            ),
+            f"spark.sql.catalog.{catalog}": (
+                "org.apache.iceberg.spark.SparkCatalog"
+            ),
+            f"spark.sql.catalog.{catalog}.type": catalog_type,
+            f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        }
+
+    @classmethod
+    def create_table_ddl(
+        cls,
+        name: str,
+        schema: T.StructType,
+        catalog: str = "crawl",
+        seen_buckets: int = SEEN_BUCKETS,
+        dims_buckets: int = DIMS_BUCKETS,
+    ) -> str:
+        """CREATE TABLE for one logical table, with the superstep as a
+        partition column (added to the schema — in the parquet layout
+        it is a directory, in Iceberg a real column)."""
+        cols = [
+            f"  {f.name} {cls._SQL_TYPES[f.dataType.simpleString()]}"
+            + ("" if f.nullable else " NOT NULL")
+            for f in schema.fields
+        ] + ["  superstep INT NOT NULL"]
+        spec = ", ".join(
+            p.format(seen_buckets=seen_buckets, dims_buckets=dims_buckets)
+            for p in cls._PARTITION_SPECS[name]
+        )
+        return (
+            f"CREATE TABLE IF NOT EXISTS {catalog}.{name} (\n"
+            + ",\n".join(cols)
+            + f"\n) USING iceberg\nPARTITIONED BY ({spec})"
+        )
+
+    @classmethod
+    def dims_merge_sql(cls, catalog: str = "crawl") -> str:
+        """The MERGE that replaces dim_upsert_delta* on Iceberg: the
+        engine computes the same append-only delta, Iceberg enforces
+        insert-if-absent transactionally."""
+        return (
+            f"MERGE INTO {catalog}.dims t\n"
+            "USING dims_delta s\n"
+            "ON t.kind = s.kind AND t.key = s.key\n"
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    @classmethod
+    def compact_sql(
+        cls,
+        name: str,
+        catalog: str = "crawl",
+        target_file_size_bytes: int = 512 * 1024 * 1024,
+    ) -> str:
+        """compact_table's Iceberg form (rewrite_data_files), followed
+        by snapshot expiry a deployment schedules separately."""
+        return (
+            f"CALL {catalog}.system.rewrite_data_files(\n"
+            f"  table => '{catalog}.{name}',\n"
+            "  options => map('target-file-size-bytes', "
+            f"'{target_file_size_bytes}'))"
+        )
+
+    @classmethod
+    def expire_snapshots_sql(
+        cls, name: str, catalog: str = "crawl", retain_last: int = 10
+    ) -> str:
+        return (
+            f"CALL {catalog}.system.expire_snapshots(\n"
+            f"  table => '{catalog}.{name}', retain_last => {retain_last})"
+        )
+
+    @classmethod
+    def rollback_sql(
+        cls, name: str, snapshot_id: int, catalog: str = "crawl"
+    ) -> str:
+        """rollback_uncommitted's Iceberg form: snapshots ARE the
+        manifests, so rolling back to the last good snapshot is the
+        whole recovery story."""
+        return (
+            f"CALL {catalog}.system.rollback_to_snapshot("
+            f"'{catalog}.{name}', {snapshot_id})"
+        )
+
 
 class ParquetManifestBackend(TableBackend):
     """Superstep-partitioned parquet + JSON manifest commit markers
