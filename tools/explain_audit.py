@@ -147,6 +147,27 @@ CHECKS = {
          "Python runner",
          lambda p: "ArrowEvalPython" in p or "MapInPandas" in p),
     ],
+    "media_features_codec": [
+        ("decode -> stats -> histogram -> thumbnail is ONE narrow "
+         "Arrow-batched pass: zero exchanges end to end",
+         lambda p: "Exchange" not in p),
+        ("the decode runs in an Arrow-batched Python runner, never "
+         "row-at-a-time",
+         lambda p: "MapInPandas" in p or "ArrowEvalPython" in p),
+    ],
+    "warc_ingest": [
+        ("archive parse is a narrow Arrow-batched pass over whole "
+         "files: one task per archive, zero exchanges",
+         lambda p: "Exchange" not in p),
+        ("wire decode (de-chunk/gunzip) runs in MapInPandas, "
+         "never row-at-a-time Python",
+         lambda p: "MapInPandas" in p),
+        ("binaryFile scan prunes to content only (no per-record "
+         "predicate can push into an opaque archive — parsing IS the "
+         "scan)",
+         lambda p: "binaryFile" in p or "BatchScan" in p
+         or "FileScan" in p),
+    ],
 }
 
 

@@ -248,6 +248,13 @@ Raw JSON:
 {json.dumps(r_high)}{chr(10) + json.dumps(r_peak) if r_peak is not None else ""}
 ```
 """
+    # persistent evidence that must survive regeneration (A/B results,
+    # window disclosures, cross-round methodology notes) lives in
+    # BENCH/NOTES.md and is appended verbatim
+    notes = os.path.join(ROOT, "BENCH", "NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            md += "\n" + f.read()
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
         f.write(md)
