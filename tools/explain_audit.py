@@ -258,6 +258,33 @@ def crawl_operator_plans(spark, work_dir: str):
         ],
     )
 
+    # the cuckoo-prefiltered seen path (north-star "Bloom/cuckoo"):
+    # the filter's stripe tables are executor-side point reads, so —
+    # like the bucketed seen layout — they must be invisible to the
+    # Spark plan; the probe itself is an Arrow-batched pandas UDF and
+    # the exact check on the maybe-seen residue stays broadcast-only.
+    from website_indexer_spark.operators.cuckoo import StripedCuckoo
+
+    ck = StripedCuckoo.create(os.path.join(work_dir, "ckf"), expected_keys=1_000_000)
+    ck.update(seen.select("url_hash"))
+    plans["crawl_seen_anti_join_cuckoo"] = (
+        anti_join_seen(wave, seen.select("url_hash"), ck, broadcast_frontier=True),
+        [
+            ("cuckoo stripe tables absent from the plan (no scan node "
+             "reads ckf/): probe tasks point-read their stripe files "
+             "executor-side",
+             lambda p: "ckf" not in p),
+            ("probe is an Arrow-batched pandas UDF (vectorized, "
+             "never per-row Python)",
+             lambda p: "ArrowEvalPython" in p),
+            no_shuffle,
+            ("maybe-seen residue takes the exact LeftSemi/LeftAnti "
+             "broadcast check; definitely-unseen rows bypass it",
+             lambda p: "LeftSemi" in p and "LeftAnti" in p
+             and "Union" in p),
+        ],
+    )
+
     # the fetch join's hits ∪ misses synthesis (plans/crawl.py A13).
     # Tiny waves: the wave's URL list is pushed into the lookup scan
     # as an IN predicate (point lookup — parquet row-group skipping).

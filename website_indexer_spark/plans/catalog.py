@@ -438,6 +438,35 @@ def q_seen_anti_join_bucketed(spark, sf):
     ).select(F.col("url_hash").alias("doc_id"))
 
 
+def q_seen_anti_join_cuckoo(spark, sf):
+    """The cuckoo twin of `seen_anti_join_bucketed`'s seen-set
+    dedup (north-star: "Bloom/cuckoo filter union-merged each
+    superstep"): even doc_ids' hashes build a StripedCuckoo, the probe
+    splits all doc_ids into definitely-unseen (kept outright) and
+    maybe-seen (exact broadcast anti-join), and the union must be
+    exactly the odds — the filter is a superset prefilter, never the
+    source of truth. Keys are xxhash64(doc_id) because the filter's
+    fingerprint/stripe/index fields are carved from the hash bits the
+    crawl's url_hash actually has (sequential ints would degenerate
+    every fingerprint to 1)."""
+    import tempfile
+
+    from website_indexer_spark.operators.cuckoo import StripedCuckoo
+    from website_indexer_spark.operators.frontier import exclude_keys
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.xxhash64(F.col("doc_id")).alias("url_hash")
+    )
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select("url_hash")
+    root = tempfile.mkdtemp(prefix="gate_cuckoo_")
+    ck = StripedCuckoo.create(root, expected_keys=seen.count())
+    ck.update(seen)
+    maybe = ck.probe_udf()
+    fast = docs.filter(~maybe(F.col("url_hash")))
+    slow = exclude_keys(docs.filter(maybe(F.col("url_hash"))), seen, "url_hash")
+    return fast.unionByName(slow).select("doc_id")
+
+
 def q_dimension_upsert_bucketed(spark, sf):
     """The dims MERGE's storage-partitioned strategy under the same
     oracle as `dimension_upsert`: identical delta semantics, physical
@@ -713,6 +742,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "dimension_upsert": q_dimension_upsert,
     "dimension_upsert_bucketed": q_dimension_upsert_bucketed,
     "seen_anti_join_bucketed": q_seen_anti_join_bucketed,
+    "seen_anti_join_cuckoo": q_seen_anti_join_cuckoo,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "token_counts": q_token_counts,
@@ -1145,6 +1175,9 @@ ORACLE_SQL: Dict[str, str] = {
           AND token NOT IN (SELECT token FROM tri WHERE doc_id % 2 = 0)
     """,
     "seen_anti_join_bucketed": """
+        SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+    """,
+    "seen_anti_join_cuckoo": """
         SELECT doc_id FROM documents WHERE doc_id % 2 = 1
     """,
     "lang_id": _lang_id_sql(),

@@ -80,6 +80,7 @@ from website_indexer_spark.operators.frontier import (
     assign_ordered_seq,
     politeness_select,
 )
+from website_indexer_spark.operators.cuckoo import StripedCuckoo
 from website_indexer_spark.operators.dims import (
     dim_upsert_delta,
     dim_upsert_delta_bucketed,
@@ -163,41 +164,67 @@ def maintain_bloom(
     n_selected,
     use_bloom=None,
     bloom_bits=None,
+    seen_filter="bloom",
 ):
-    """A3's persistent striped-Bloom prefilter maintenance, shared by
-    the batch driver and the streaming skin (so the two cannot drift).
-    Incremental: each superstep ORs only the wave's seen delta into
-    the bucket bitmaps (never a full-history rebuild unless capacity
-    doubles), and the bitmaps are written BEFORE the manifest commit
-    so the filter is always a superset of the committed seen set —
-    false positives only cost an exact probe, false negatives are
-    impossible for committed keys. ``requested_total`` IS the
-    cumulative seen count including this wave (every seen row was a
-    selected wave member, unique by construction), so sizing needs no
-    extra jobs. Returns the live StripedBloom (bitmaps already OR-ed
-    with this wave's delta) or None when the prefilter is off."""
-    bloom_on = use_bloom or (
+    """A3's persistent approximate-prefilter maintenance (striped
+    Bloom by default, striped cuckoo with ``seen_filter='cuckoo'``),
+    shared by the batch driver and the streaming skin (so the two
+    cannot drift). Incremental: each superstep union-merges only the
+    wave's seen delta into the filter (never a full-history rebuild
+    unless capacity doubles), and the filter files are written BEFORE
+    the manifest commit so the filter is always a superset of the
+    committed seen set — false positives only cost an exact probe,
+    false negatives are impossible for committed keys.
+    ``requested_total`` IS the cumulative seen count including this
+    wave (every seen row was a selected wave member, unique by
+    construction), so sizing needs no extra jobs. Returns the live
+    filter (already merged with this wave's delta) or None when the
+    prefilter is off.
+
+    The filter layout is physical store state, so on resume a
+    PERSISTED filter of either kind wins over the requested kind —
+    switching kinds mid-crawl would require a rebuild, which the
+    capacity check performs naturally when it next triggers.
+    ``bloom_bits`` force-sizes the Bloom variant only; the cuckoo
+    variant always auto-sizes from the cumulative seen count."""
+    filter_on = use_bloom or (
         use_bloom is None and requested_total >= BLOOM_AUTO_SEEN_THRESHOLD
     )
-    if not bloom_on:
+    if not filter_on:
         return None
-    bloom = bloom or StripedBloom.load(out_dir)
-    needs_rebuild = bloom is None or (
-        bloom_bits is None and requested_total > bloom.capacity_keys
+    filt = bloom or StripedBloom.load(out_dir) or StripedCuckoo.load(out_dir)
+    cls = type(filt) if filt is not None else (
+        StripedCuckoo if seen_filter == "cuckoo" else StripedBloom
     )
-    if needs_rebuild:
-        # (re)size for 4× the current seen count so capacity doublings
-        # amortize; one distributed rebuild pass over the committed
-        # history + this wave's delta
-        bloom = StripedBloom.create(
+    force_bits = bloom_bits if cls is StripedBloom else None
+    needs_rebuild = filt is None or (
+        force_bits is None and requested_total > filt.capacity_keys
+    )
+    if not needs_rebuild:
+        try:
+            filt.update(delta_keys, n_keys=n_selected)
+            return filt
+        except Exception as exc:  # noqa: BLE001 — Py4J re-wraps task errors
+            # a cuckoo stripe past design load surfaces as a wrapped
+            # task failure; fall through to the same 4× rebuild an
+            # undersized Bloom takes (proactive capacity check above
+            # makes this path near-unreachable)
+            if "CuckooCapacityError" not in str(exc):
+                raise
+    # (re)size for 4× the current seen count so capacity doublings
+    # amortize; one distributed rebuild pass over the committed
+    # history + this wave's delta
+    if cls is StripedBloom:
+        filt = StripedBloom.create(
             out_dir,
             expected_keys=4 * requested_total,
-            total_bits=bloom_bits,
+            total_bits=force_bits,
         )
-        bloom.update(seen_now, n_keys=requested_total)
     else:
-        bloom.update(delta_keys, n_keys=n_selected)
-    return bloom
+        StripedCuckoo.destroy(out_dir)
+        filt = StripedCuckoo.create(out_dir, expected_keys=4 * requested_total)
+    filt.update(seen_now, n_keys=requested_total)
+    return filt
 
 
 def fetch_sim_join(web, selected, n_selected):
@@ -450,6 +477,7 @@ def run_crawl(
     salt_buckets: int = 1,
     use_bloom: Optional[bool] = None,
     bloom_bits: Optional[int] = None,
+    seen_filter: str = "bloom",
     resume: bool = False,
     crawl_id: int = 1,
     max_supersteps: int = 1000,
@@ -640,6 +668,7 @@ def run_crawl(
                 n_selected,
                 use_bloom=use_bloom,
                 bloom_bits=bloom_bits,
+                seen_filter=seen_filter,
             )
             if est_accepted <= BROADCAST_FETCH_THRESHOLD:
                 accepted = anti_join_seen(
