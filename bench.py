@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     # (dimension_upsert_bucketed stays gate-only: its bench time would
     # be ~90% scratch-layout setup write, not the probe)
     "seen_anti_join_bucketed",
+    "seen_anti_join_cuckoo",
     "dedup_clusters",
     "stratified_sample",
     "pii_scrub",

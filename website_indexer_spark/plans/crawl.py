@@ -1008,6 +1008,13 @@ def main() -> None:  # pragma: no cover - CLI for spark-submit --py-files
     )
     ap.add_argument("--no-bloom", dest="bloom", action="store_const", const=False)
     ap.add_argument(
+        "--seen-filter",
+        choices=["bloom", "cuckoo"],
+        default="bloom",
+        help="approximate seen-set prefilter kind (cuckoo = deletable, "
+        "stripe-owned executor-side updates)",
+    )
+    ap.add_argument(
         "--no-dims",
         dest="dims",
         action="store_false",
@@ -1029,6 +1036,7 @@ def main() -> None:  # pragma: no cover - CLI for spark-submit --py-files
         host_budget=args.host_budget,
         salt_buckets=args.salt_buckets,
         use_bloom=args.bloom,
+        seen_filter=args.seen_filter,
         resume=args.resume,
         maintain_dims=args.dims,
     )
