@@ -281,3 +281,39 @@ def test_meta_file_contents(spark, tmp_path):
         "seen_buckets": 12,
         "dims_buckets": 8,
     }
+
+
+def test_manifest_records_per_partition_lineage(spark, tmp_path):
+    """Each committed manifest carries the superstep's per-partition
+    lineage: every data file written (routed/seen/dims/frontier), with
+    footer row counts — and the recorded sums agree with the committed
+    counters. Compaction does NOT rewrite history: old manifests keep
+    the lineage of what their commit actually produced."""
+    result = _crawl(spark, tmp_path, "lin")
+    store = result.store
+    manifests = list(store.manifests())
+    assert manifests, "crawl committed nothing"
+    total_seen = 0
+    for m in manifests:
+        files = m.get("files", {})
+        assert set(files) >= {"routed", "seen", "frontier"} - (
+            set() if m["counters"]["enqueued"] else {"frontier"}
+        ), (m["superstep"], sorted(files))
+        for table, per_file in files.items():
+            assert per_file, table
+            for rel, rows in per_file.items():
+                assert rel.endswith(".parquet") and rows >= 0, (table, rel)
+        # per-file seen rows sum to the superstep's requested counter
+        if "seen" in files:
+            total_seen += sum(files["seen"].values())
+        routed_sum = sum(files.get("routed", {}).values())
+        assert routed_sum == (
+            m["counters"]["pages"]
+            + m["counters"]["errors"]
+            + m["counters"]["redirects"]
+        ), m["superstep"]
+    assert total_seen == result.requested
+    before = [json.dumps(m, sort_keys=True) for m in store.manifests()]
+    store.compact()
+    after = [json.dumps(m, sort_keys=True) for m in store.manifests()]
+    assert before == after  # lineage log is immutable history

@@ -515,11 +515,49 @@ class ParquetManifestBackend(TableBackend):
                 counts[part] = counts.get(part, 0) + n
         return counts
 
+    def delta_files(self, superstep: int) -> Dict[str, Dict[str, int]]:
+        """Per-partition lineage for a just-written superstep: every
+        data file each delta table produced, with its footer row count
+        — {table: {relative/path.parquet: rows}}. Driver-side parquet
+        metadata reads only (no Spark job), the manifest-file analogue
+        of an Iceberg snapshot's data-file list."""
+        import pyarrow.parquet as pq
+
+        out: Dict[str, Dict[str, int]] = {}
+        for name in DELTA_TABLES + SNAPSHOT_TABLES:
+            base = os.path.join(self.root, name, f"superstep={superstep}")
+            if not os.path.isdir(base):
+                continue
+            files: Dict[str, int] = {}
+            for dirpath, _dirs, fnames in os.walk(base):
+                for fname in fnames:
+                    if not fname.endswith(".parquet"):
+                        continue
+                    full = os.path.join(dirpath, fname)
+                    files[os.path.relpath(full, base)] = pq.ParquetFile(
+                        full
+                    ).metadata.num_rows
+            if files:
+                out[name] = files
+        return out
+
     def commit(self, superstep: int, counters: dict) -> None:
         """Write the manifest LAST — it is the commit marker. Torn
         superstep directories without a manifest are invisible to
-        readers and get overwritten on resume."""
-        manifest = {"superstep": superstep, "counters": counters}
+        readers and get overwritten on resume.
+
+        Besides the aggregate counters, the manifest records the
+        superstep's per-partition lineage (``files``: every data file
+        written, with row counts — see delta_files). It is a lineage
+        LOG of what this commit produced, not the live file listing:
+        compaction later rewrites old supersteps' data into one
+        coalesced superstep without editing history (Iceberg keeps old
+        snapshots' manifests the same way)."""
+        manifest = {
+            "superstep": superstep,
+            "counters": counters,
+            "files": self.delta_files(superstep),
+        }
         tmp = self._manifest_path(superstep) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
