@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     # be ~90% scratch-layout setup write, not the probe)
     "seen_anti_join_bucketed",
     "seen_anti_join_cuckoo",
+    "politeness_bucketed",
     "dedup_clusters",
     "stratified_sample",
     "pii_scrub",

@@ -1,0 +1,191 @@
+"""Storage-partitioned politeness selection (round 4): a throttled
+crawl over a host-bucketed frontier snapshot must select per-host
+budgets WITHOUT exchanging the queue — and land the exact same crawl
+state as the window path.
+
+Pins:
+* unit: politeness_select_bucketed == politeness_select on a random
+  multi-host frontier (selected AND deferred sides)
+* plan property: the selection job's only exchange moves the bucket-id
+  driver rows; the frontier parquet never appears in the Spark plan
+  (point-reads are executor-side), and the deferred side reaches the
+  next snapshot's partitionBy write without any additional exchange
+* forced-path crawl (threshold 0 + frontier_buckets) == oracle ==
+  window-path crawl, including visit order (discovery_seq assignment)
+* resume mid-crawl from a bucketed snapshot keeps both properties
+* bucket hygiene: every host's rows land wholly inside one bucket dir
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import web_dict_to_df
+from tests.oracle_crawler import crawl as oracle_crawl
+from tests.test_crawl import _assert_equivalent, _rich_site
+from website_indexer_spark.operators import frontier as FR
+from website_indexer_spark.plans import crawl as C
+from website_indexer_spark.sources.tables import FRONTIER_SCHEMA, CrawlStore
+
+
+def _random_frontier(spark, n=400, hosts=13):
+    return (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("https://h"), (F.col("id") % hosts), F.lit(".test/p"), F.col("id")).alias("url"),
+            F.concat(F.lit("h"), (F.col("id") % hosts), F.lit(".test")).alias("host"),
+            (F.xxhash64("id") % 4 + 4).cast("int").alias("depth"),
+            F.col("id").alias("discovery_seq"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(None).cast("string").alias("parent_host"),
+            F.lit("GET").alias("fetch_method"),
+        )
+    )
+
+
+def _write_bucketed(df, path, n_buckets=8):
+    (
+        df.withColumn("bucket", F.pmod(F.xxhash64("host"), F.lit(n_buckets)))
+        .repartition(n_buckets, F.col("bucket"))
+        .write.partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def _bucket_files(path):
+    out = {}
+    for dirpath, _dirs, files in os.walk(path):
+        base = os.path.basename(dirpath)
+        if base.startswith("bucket="):
+            b = int(base.split("=", 1)[1])
+            out.setdefault(b, []).extend(
+                os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+            )
+    return out
+
+
+def _key_rows(df):
+    return sorted(
+        (r["url"], r["host"], r["depth"], r["discovery_seq"])
+        for r in df.collect()
+    )
+
+
+def test_bucketed_selection_matches_window(spark, tmp_path):
+    frontier = _random_frontier(spark)
+    budget = 7
+    want_sel, want_def = FR.politeness_select(frontier, budget)
+    path = str(tmp_path / "snap")
+    _write_bucketed(frontier, path)
+    got = FR.politeness_select_bucketed(
+        spark, _bucket_files(path), budget, FRONTIER_SCHEMA
+    ).persist()
+    got_sel = got.filter(F.col("_selected")).drop("_selected")
+    got_def = got.filter(~F.col("_selected")).drop("_selected")
+    assert _key_rows(got_sel) == _key_rows(want_sel)
+    assert _key_rows(got_def) == _key_rows(want_def)
+    got.unpersist()
+
+
+def test_bucketed_selection_plan_properties(spark, tmp_path):
+    frontier = _random_frontier(spark)
+    path = str(tmp_path / "snap")
+    _write_bucketed(frontier, path)
+    out = FR.politeness_select_bucketed(
+        spark, _bucket_files(path), 5, FRONTIER_SCHEMA
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # frontier parquet absent: the queue is point-read executor-side
+    assert "snap" not in plan
+    # the only exchange is the bucket-id repartition; no window/sort
+    # of the queue in the Spark plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+
+    # the deferred side flows into a host-bucketed partitionBy write
+    # with no FURTHER exchange (task-per-bucket layout preserved)
+    deferred = out.filter(~F.col("_selected")).drop("_selected").withColumn(
+        "bucket", F.pmod(F.xxhash64("host"), F.lit(8))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        deferred.explain("formatted")
+    plan2 = buf.getvalue()
+    assert plan2.count("Arguments: hashpartitioning") == 1  # still just bucket ids
+
+
+@pytest.mark.slow
+def test_crawl_bucketed_frontier_matches_oracle(spark, tmp_path, monkeypatch):
+    """Forced storage-partitioned selection end to end: same final
+    state AND same visit order (seen set keyed by discovery order) as
+    both the oracle and the window-path crawl."""
+    web, seed = _rich_site()
+    oracle = oracle_crawl(web, seed)
+    web_df = web_dict_to_df(spark, web)
+
+    window = C.run_crawl(
+        spark, web_df, seed, str(tmp_path / "win"), host_budget=2
+    )
+    monkeypatch.setattr(C, "FRONTIER_SELECT_BUCKETED_MIN", 0)
+    bucketed = C.run_crawl(
+        spark,
+        web_df,
+        seed,
+        str(tmp_path / "bkt"),
+        host_budget=2,
+        frontier_buckets=4,
+    )
+    _assert_equivalent(bucketed, bucketed.store, oracle)
+    assert bucketed.supersteps == window.supersteps
+
+    # identical request ORDER, not just set: (url, discovery_seq) pairs
+    def seq_pairs(store):
+        rows = store.read_all("pages").select("url", "depth").collect()
+        return sorted((r["url"], r["depth"]) for r in rows)
+
+    assert seq_pairs(bucketed.store) == seq_pairs(window.store)
+
+    # bucket hygiene on the surviving snapshots: a host's rows are
+    # never split across bucket dirs
+    store = bucketed.store
+    for kk in range(bucketed.supersteps):
+        files = store.frontier_bucket_files(kk)
+        if not files:
+            continue
+        seen_hosts = {}
+        for b, fs in files.items():
+            for f in fs:
+                import pyarrow.parquet as pq
+
+                for h in set(pq.read_table(f, columns=["host"])["host"].to_pylist()):
+                    assert seen_hosts.setdefault(h, b) == b, (h, kk)
+
+
+@pytest.mark.slow
+def test_crawl_bucketed_frontier_resume(spark, tmp_path, monkeypatch):
+    """Crash after a few supersteps of a bucketed-frontier throttled
+    crawl; resume must finish to the exact oracle state through the
+    bucketed selection path."""
+    web, seed = _rich_site()
+    oracle = oracle_crawl(web, seed)
+    web_df = web_dict_to_df(spark, web)
+    out = str(tmp_path / "crawl")
+    monkeypatch.setattr(C, "FRONTIER_SELECT_BUCKETED_MIN", 0)
+    partial = C.run_crawl(
+        spark, web_df, seed, out,
+        host_budget=2, frontier_buckets=4, max_supersteps=3,
+    )
+    assert partial.supersteps == 3
+    resumed = C.run_crawl(
+        spark, web_df, seed, out,
+        host_budget=2, frontier_buckets=4, resume=True,
+    )
+    _assert_equivalent(resumed, CrawlStore(spark, out), oracle)

@@ -285,6 +285,55 @@ def crawl_operator_plans(spark, work_dir: str):
         ],
     )
 
+    # storage-partitioned politeness selection (round 4): per-host
+    # budget ranking over a host-bucketed frontier snapshot — the
+    # queue never crosses an exchange; the window variant's
+    # hash-exchange of the whole queue is the thing this kills.
+    from website_indexer_spark.operators.frontier import (
+        politeness_select_bucketed,
+    )
+    from website_indexer_spark.sources.tables import FRONTIER_SCHEMA
+
+    fsnap = os.path.join(work_dir, "fsnap")
+    (
+        big.select(
+            "url",
+            F.concat(F.lit("h"), F.pmod(F.col("url_hash"), F.lit(50)), F.lit(".test")).alias("host"),
+            F.lit(3).alias("depth"),
+            F.col("url_hash").alias("discovery_seq"),
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(None).cast("string").alias("parent_host"),
+            F.lit("GET").alias("fetch_method"),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("host"), F.lit(8)))
+        .repartition(8, F.col("bucket"))
+        .write.partitionBy("bucket")
+        .parquet(fsnap)
+    )
+    fbuckets: dict = {}
+    for dirpath, _dirs, fnames in os.walk(fsnap):
+        marker = os.path.basename(dirpath)
+        if marker.startswith("bucket="):
+            b = int(marker.split("=", 1)[1])
+            fbuckets.setdefault(b, []).extend(
+                os.path.join(dirpath, f) for f in fnames if f.endswith(".parquet")
+            )
+    plans["crawl_politeness_bucketed"] = (
+        politeness_select_bucketed(spark, fbuckets, 100, FRONTIER_SCHEMA),
+        [
+            ("frontier snapshot absent from the plan (no scan node "
+             "reads fsnap/): selection tasks point-read their bucket's "
+             "files executor-side",
+             lambda p: "fsnap" not in p),
+            ("exactly one hash exchange — the BUCKET-ID driver rows; "
+             "the 10^10-row queue itself never crosses an exchange",
+             lambda p: p.count("Arguments: hashpartitioning") == 1),
+            ("no Window/Sort of the queue in the Spark plan (the "
+             "per-host rank runs inside the Arrow-batched task)",
+             lambda p: "Window" not in p and "MapInPandas" in p),
+        ],
+    )
+
     # the fetch join's hits ∪ misses synthesis (plans/crawl.py A13).
     # Tiny waves: the wave's URL list is pushed into the lookup scan
     # as an IN predicate (point lookup — parquet row-group skipping).

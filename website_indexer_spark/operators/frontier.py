@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 URL_HASH = lambda col: F.xxhash64(col)  # noqa: E731 — canonical url hash
 
@@ -538,6 +539,76 @@ def politeness_select(
     selected = ranked.filter(F.col("_rn") <= host_budget).drop("_rn")
     deferred = ranked.filter(F.col("_rn") > host_budget).drop("_rn")
     return selected, deferred
+
+
+def politeness_select_bucketed(
+    spark,
+    bucket_files: dict,
+    host_budget: int,
+    schema,
+) -> DataFrame:
+    """politeness_select's storage-partitioned twin for huge queues:
+    per-host budget selection WITHOUT shuffling the frontier.
+
+    ``politeness_select``'s Window.partitionBy(host) hash-exchanges the
+    ENTIRE queue every superstep — at a 10^10-row frontier that one
+    exchange dominates the superstep. When the frontier snapshot was
+    written host-bucketed (bucket = pmod(xxhash64(host), B) partition
+    dirs, so every host lives wholly inside one bucket), selection
+    becomes partition-local: a driver DataFrame of bucket ids fans out
+    one task per bucket; each task point-reads only its bucket's
+    parquet files (same executor-side pattern as
+    ``exclude_keys_bucketed``), runs the per-host (depth,
+    discovery_seq)-ordered budget rank in pandas, and emits every row
+    tagged ``_selected``. The only exchange in the plan moves B
+    driver rows. Selection semantics are EXACTLY the window's: stable
+    sort on (depth, discovery_seq) — discovery_seq is globally unique
+    so there are no ties — then per-host cumcount < budget.
+
+    Mega-host salting is unnecessary here: a host's rows are one
+    pandas sort inside its bucket task, not one Spark task per window
+    partition; size B so a bucket's rows fit an executor (the caller's
+    frontier_buckets knob, same sizing story as the seen buckets).
+
+    Returns schema + ``_selected boolean``; the caller filters the two
+    sides and re-derives the bucket column on write (a narrow
+    projection — the deferred side keeps its task-per-bucket layout all
+    the way into the next snapshot's partitionBy write, so the queue
+    never crosses an exchange on the way back out either)."""
+    files_b = {int(b): list(fs) for b, fs in bucket_files.items()}
+    out_schema = T.StructType(
+        schema.fields + [T.StructField("_selected", T.BooleanType(), False)]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def per_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for b in pdf["bucket"].tolist():
+                frames = [
+                    pq.read_table(f, columns=cols).to_pandas()
+                    for f in files_b[int(b)]
+                ]
+                df = (
+                    pd.concat(frames, ignore_index=True)
+                    if len(frames) > 1
+                    else frames[0]
+                )
+                if df.empty:
+                    continue
+                df = df.sort_values(
+                    ["depth", "discovery_seq"], kind="mergesort", ignore_index=True
+                )
+                df["_selected"] = (
+                    df.groupby("host", sort=False).cumcount() < host_budget
+                )
+                yield df
+
+    ids = spark.createDataFrame(
+        [(int(b),) for b in sorted(files_b)], "bucket int"
+    ).repartition(max(len(files_b), 1), F.col("bucket"))
+    return ids.mapInPandas(per_buckets, out_schema)
 
 
 # --------------------------------------------------------------------

@@ -467,6 +467,54 @@ def q_seen_anti_join_cuckoo(spark, sf):
     return fast.unionByName(slow).select("doc_id")
 
 
+def q_politeness_bucketed(spark, sf):
+    """The storage-partitioned per-host politeness selection under the
+    oracle gate: documents stand in for frontier rows (host = doc_id %
+    37, BFS keys depth = doc_id % 3 and discovery_seq = doc_id), the
+    snapshot is written host-bucketed, and the bucketed selection's
+    selected/deferred split must equal SQL's per-host
+    ROW_NUMBER() OVER (PARTITION BY host ORDER BY depth, seq) <= 5 —
+    the operator is byte-for-byte the one the throttled crawl uses
+    above FRONTIER_SELECT_BUCKETED_MIN (operators/frontier.py
+    politeness_select_bucketed)."""
+    import os
+    import tempfile
+
+    from website_indexer_spark.operators.frontier import (
+        politeness_select_bucketed,
+    )
+    from website_indexer_spark.sources.tables import FRONTIER_SCHEMA
+
+    rows = _t(spark, sf, "documents").select(
+        F.concat(F.lit("https://h"), F.col("doc_id") % 37, F.lit(".test/p"), F.col("doc_id")).alias("url"),
+        F.concat(F.lit("h"), F.col("doc_id") % 37, F.lit(".test")).alias("host"),
+        (F.col("doc_id") % 3).cast("int").alias("depth"),
+        F.col("doc_id").cast("long").alias("discovery_seq"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(None).cast("string").alias("parent_host"),
+        F.lit("GET").alias("fetch_method"),
+    )
+    snap = tempfile.mkdtemp(prefix="gate_frontier_")
+    (
+        rows.withColumn("bucket", F.pmod(F.xxhash64("host"), F.lit(8)))
+        .repartition(8, F.col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(snap)
+    )
+    files: dict = {}
+    for dirpath, _dirs, fnames in os.walk(snap):
+        marker = os.path.basename(dirpath)
+        if marker.startswith("bucket="):
+            b = int(marker.split("=", 1)[1])
+            files.setdefault(b, []).extend(
+                os.path.join(dirpath, f) for f in fnames if f.endswith(".parquet")
+            )
+    out = politeness_select_bucketed(spark, files, 5, FRONTIER_SCHEMA)
+    return out.select(
+        F.col("discovery_seq").alias("doc_id"),
+        F.col("_selected").alias("selected"),
+    )
+
+
 def q_dimension_upsert_bucketed(spark, sf):
     """The dims MERGE's storage-partitioned strategy under the same
     oracle as `dimension_upsert`: identical delta semantics, physical
@@ -743,6 +791,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "dimension_upsert_bucketed": q_dimension_upsert_bucketed,
     "seen_anti_join_bucketed": q_seen_anti_join_bucketed,
     "seen_anti_join_cuckoo": q_seen_anti_join_cuckoo,
+    "politeness_bucketed": q_politeness_bucketed,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "token_counts": q_token_counts,
@@ -1179,6 +1228,13 @@ ORACLE_SQL: Dict[str, str] = {
     """,
     "seen_anti_join_cuckoo": """
         SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+    """,
+    "politeness_bucketed": """
+        SELECT doc_id,
+               (row_number() OVER (
+                  PARTITION BY doc_id % 37
+                  ORDER BY doc_id % 3, doc_id) <= 5) AS selected
+        FROM documents
     """,
     "lang_id": _lang_id_sql(),
     "quality": _quality_sql(),

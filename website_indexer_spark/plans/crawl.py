@@ -79,6 +79,7 @@ from website_indexer_spark.operators.frontier import (
     anti_join_seen_bucketed,
     assign_ordered_seq,
     politeness_select,
+    politeness_select_bucketed,
 )
 from website_indexer_spark.operators.cuckoo import StripedCuckoo
 from website_indexer_spark.operators.dims import (
@@ -153,6 +154,14 @@ BLOOM_AUTO_SEEN_THRESHOLD = 5_000_000
 # and per-superstep file count (one file per bucket), but one parallel
 # task per bucket (VERDICT r3 #2).
 DELTA_WRITE_SINGLE_TASK_MAX = 200_000
+
+# Queue size above which a throttled crawl's politeness selection
+# switches from the exact per-host window (one hash exchange of the
+# whole queue per superstep) to the storage-partitioned bucketed
+# selection over a host-bucketed frontier snapshot (no queue exchange
+# at all) — requires run_crawl(frontier_buckets=...) so snapshots are
+# written host-bucketed. Identical selection either way.
+FRONTIER_SELECT_BUCKETED_MIN = 200_000
 
 
 def maintain_bloom(
@@ -475,6 +484,7 @@ def run_crawl(
     robots: Optional[DataFrame] = None,
     host_budget: Optional[int] = None,
     salt_buckets: int = 1,
+    frontier_buckets: Optional[int] = None,
     use_bloom: Optional[bool] = None,
     bloom_bits: Optional[int] = None,
     seen_filter: str = "bloom",
@@ -511,6 +521,7 @@ def run_crawl(
         store.rollback_uncommitted()
         last = store.last_committed()
         frontier = store.read_frontier(last)
+        frontier_files = store.frontier_bucket_files(last) or None
         frontier_count = 0
         for m in store.manifests():
             requested_total += m["counters"]["requested"]
@@ -526,6 +537,7 @@ def run_crawl(
         # seen set would anti-join the new frontier away
         store.clear()
         frontier = _seed_frontier(spark, seed_url, start_host)
+        frontier_files = None  # in-memory seed wave: no snapshot yet
         frontier_count = 1
         k = 0
         store.write_crawl_record(
@@ -571,16 +583,42 @@ def run_crawl(
             # footer count / the manifest on resume) — no count job here
             if frontier_count == 0:
                 break
-            frontier = frontier.persist()
             if max_pages and requested_total >= max_pages:
                 break
 
             # --- politeness budget (A11) + mega-host salting -----------
+            # Above the queue threshold, with a host-bucketed frontier
+            # snapshot on disk, selection goes STORAGE-PARTITIONED
+            # (politeness_select_bucketed): one task per host-bucket
+            # point-reads its files and ranks locally — the 10^10-row
+            # queue never crosses an exchange. Below it (or for the
+            # in-memory seed wave) the exact window path runs; both
+            # produce the identical (depth, discovery_seq)-ordered
+            # per-host selection.
             throttled = host_budget is not None or bool(max_pages)
+            selection_cache = None
+            use_bucketed_select = bool(
+                host_budget is not None
+                and frontier_files
+                and frontier_count > FRONTIER_SELECT_BUCKETED_MIN
+            )
+            if not use_bucketed_select:
+                frontier = frontier.persist()
             if throttled:
-                selected, deferred = politeness_select(
-                    frontier, host_budget, salt_buckets
-                )
+                if use_bucketed_select:
+                    selection_cache = politeness_select_bucketed(
+                        spark, frontier_files, host_budget, FRONTIER_SCHEMA
+                    ).persist()
+                    selected = selection_cache.filter(
+                        F.col("_selected")
+                    ).drop("_selected")
+                    deferred = selection_cache.filter(
+                        ~F.col("_selected")
+                    ).drop("_selected")
+                else:
+                    selected, deferred = politeness_select(
+                        frontier, host_budget, salt_buckets
+                    )
                 # --- max_pages ordered cutoff (A10): reference counts
                 # every requested URL in visit order; the cutoff keeps the
                 # first `remaining` rows in (depth, discovery_seq) order.
@@ -600,6 +638,8 @@ def run_crawl(
             t = _mark("select", t)
             if n_selected == 0:
                 frontier.unpersist()
+                if selection_cache is not None:
+                    selection_cache.unpersist()
                 break
             requested_total += n_selected
 
@@ -738,7 +778,38 @@ def run_crawl(
                 )
 
             next_frontier = enqueued.select(*FRONTIER_SCHEMA.fieldNames())
-            if deferred is not None:
+            frontier_pb = None
+            if frontier_buckets:
+                # host-bucketed snapshot layout: bucket is a pure
+                # function of host, recomputed narrowly on EVERY row
+                # (never carried across supersteps, so changing the
+                # count between runs cannot split a host across
+                # buckets within one snapshot). The deferred side from
+                # the bucketed selection is already one task per
+                # bucket — it flows into the partitionBy write with NO
+                # exchange; the window-path deferred (below the
+                # selection threshold, hence small) and the new wave
+                # take the same single-task/per-bucket switch as the
+                # seen delta writes.
+                bucket_col = F.pmod(F.xxhash64("host"), F.lit(frontier_buckets))
+                new_rows = next_frontier.withColumn("bucket", bucket_col)
+                if est_accepted > DELTA_WRITE_SINGLE_TASK_MAX:
+                    new_rows = new_rows.repartition(
+                        frontier_buckets, F.col("bucket")
+                    )
+                else:
+                    new_rows = new_rows.coalesce(1)
+                if deferred is not None:
+                    carried = deferred.select(
+                        *FRONTIER_SCHEMA.fieldNames()
+                    ).withColumn("bucket", bucket_col)
+                    if not use_bucketed_select:
+                        carried = carried.coalesce(1)
+                    next_frontier = carried.unionByName(new_rows)
+                else:
+                    next_frontier = new_rows
+                frontier_pb = ["bucket"]
+            elif deferred is not None:
                 next_frontier = deferred.select(
                     *FRONTIER_SCHEMA.fieldNames()
                 ).unionByName(next_frontier)
@@ -851,7 +922,12 @@ def run_crawl(
                         "seen", seen_out, k, partition_by=seen_pb
                     ),
                 ),
-                ("frontier", lambda: store.write_delta("frontier", next_frontier, k)),
+                (
+                    "frontier",
+                    lambda: store.write_delta(
+                        "frontier", next_frontier, k, partition_by=frontier_pb
+                    ),
+                ),
             ]
             if maintain_dims:
                 if dims_bucketed_ok:
@@ -948,10 +1024,17 @@ def run_crawl(
             frontier.unpersist()
             if selected is not frontier:
                 selected.unpersist()
+            if selection_cache is not None:
+                selection_cache.unpersist()
             extracted.unpersist()
             for cached in step_persists:
                 cached.unpersist()
             frontier = store.read_frontier(k)
+            frontier_files = (
+                (store.frontier_bucket_files(k) or None)
+                if frontier_buckets
+                else None
+            )
             frontier_count = n_enqueued
             t = _mark("commit+unpersist", t)
             k += 1
@@ -999,6 +1082,14 @@ def main() -> None:  # pragma: no cover - CLI for spark-submit --py-files
     ap.add_argument("--host-budget", type=int, default=None)
     ap.add_argument("--salt-buckets", type=int, default=1)
     ap.add_argument(
+        "--frontier-buckets",
+        type=int,
+        default=None,
+        help="write frontier snapshots host-bucketed so big-queue "
+        "politeness selection runs storage-partitioned (no queue "
+        "exchange); default: flat snapshots + window selection",
+    )
+    ap.add_argument(
         "--bloom",
         action="store_const",
         const=True,
@@ -1035,6 +1126,7 @@ def main() -> None:  # pragma: no cover - CLI for spark-submit --py-files
         depth_cap=args.depth,
         host_budget=args.host_budget,
         salt_buckets=args.salt_buckets,
+        frontier_buckets=args.frontier_buckets,
         use_bloom=args.bloom,
         seen_filter=args.seen_filter,
         resume=args.resume,

@@ -283,6 +283,15 @@ class TableBackend:
         unit of work (Iceberg: per-bucket data files from the manifest)."""
         raise NotImplementedError
 
+    def snapshot_bucket_files(
+        self, name: str, superstep: int
+    ) -> Dict[int, List[str]]:
+        """One snapshot's parquet files grouped by ``bucket=`` dir
+        ({} for a flat snapshot) — the frontier's storage-partitioned
+        politeness selection reads these (Iceberg: the snapshot's
+        per-bucket data files)."""
+        raise NotImplementedError
+
     def bucketed_layout_ok(self, name: str) -> bool:
         """True iff EVERY committed parquet file of ``name`` sits under
         a ``bucket=`` partition dir — i.e. ``bucketed_files`` sees the
@@ -687,6 +696,29 @@ class ParquetManifestBackend(TableBackend):
                         )
         return out
 
+    def snapshot_bucket_files(
+        self, name: str, superstep: int
+    ) -> Dict[int, List[str]]:
+        """ONE superstep snapshot's parquet files grouped by their
+        ``bucket=B`` dir value ({} when that snapshot was written
+        flat). Unlike bucketed_files this does not require committed-
+        ness — the crawl loop reads the snapshot it just wrote, inside
+        the same superstep transaction (a crash before the manifest
+        rolls the whole dir back)."""
+        base = os.path.join(self.root, name, f"superstep={superstep}")
+        out: Dict[int, List[str]] = {}
+        if not os.path.isdir(base):
+            return out
+        for dirpath, _dirs, files in os.walk(base):
+            marker = os.path.basename(dirpath)
+            if not marker.startswith("bucket="):
+                continue
+            b = int(marker.split("=", 1)[1])
+            for fname in files:
+                if fname.endswith(".parquet"):
+                    out.setdefault(b, []).append(os.path.join(dirpath, fname))
+        return out
+
     def bucketed_layout_ok(self, name: str) -> bool:
         tdir = os.path.join(self.root, name)
         last = self.last_committed()
@@ -971,6 +1003,14 @@ class CrawlStore:
 
     def read_frontier(self, superstep: int) -> DataFrame:
         return self.backend.read_snapshot("frontier", superstep, FRONTIER_SCHEMA)
+
+    def frontier_bucket_files(self, superstep: int) -> Dict[int, List[str]]:
+        """One frontier snapshot's files per host-bucket dir ({} when
+        that snapshot is flat) — the storage-partitioned politeness
+        selection's work units. Bucket counts are per-snapshot (each
+        snapshot is rewritten whole, so a count change between runs
+        cannot mix layouts the way the delta tables could)."""
+        return self.backend.snapshot_bucket_files("frontier", superstep)
 
     def compact(self, tables=None) -> Dict[str, Dict[str, int]]:
         """File-count maintenance over the delta tables (one delta dir
