@@ -690,15 +690,17 @@ def run_crawl(
             seen_now = store.read_all("seen").select("url_hash").unionByName(
                 delta_keys
             )
-            # --- persistent striped Bloom prefilter (auto-sized) --------
-            # Incremental: each superstep ORs only the wave's seen delta
-            # into the bucket bitmaps (never a full-history rebuild), and
-            # the bitmaps are written BEFORE the manifest commit so the
-            # filter is always a superset of the committed seen set —
-            # false positives only cost an exact probe, false negatives
-            # are impossible for committed keys. requested_total IS the
-            # cumulative seen count (every seen row was a selected wave
-            # member, unique by construction), so sizing needs no jobs.
+            # --- persistent Bloom/cuckoo prefilter (auto-sized) ---------
+            # Incremental: each superstep union-merges only the wave's
+            # seen delta into the filter (never a full-history rebuild),
+            # and the filter files are written BEFORE the manifest commit
+            # so the filter is always a superset of the committed seen
+            # set — false positives only cost an exact probe, false
+            # negatives are impossible for committed keys. requested_total
+            # IS the cumulative seen count (every seen row was a selected
+            # wave member, unique by construction), so sizing needs no
+            # jobs. Kind picked by seen_filter=; persisted kind wins on
+            # resume (maintain_bloom docstring).
             bloom = maintain_bloom(
                 out_dir,
                 bloom,
