@@ -74,6 +74,59 @@ def test_unwrap_external_site_total(href):
         assert unwrap_external_site(out, "h.test") == out
 
 
+# The fast-path gates must be byte-equivalent to the slow pipeline on
+# every input they accept. Force the slow path by calling the internal
+# helper with the same stripped href the public function would use and
+# compare outputs across adversarial hrefs × bases (including bases
+# shaped exactly like the canonical-base gate, where the relative fast
+# path arms).
+_fast_base_like = st.one_of(
+    st.sampled_from(
+        [
+            "https://h.test/a/b",
+            "http://x.test/",
+            "https://sub.h-2.test/p?q=1",
+            "https://h.test:8443/a",  # port → gate rejects, slow path
+            "https://H.test/a",  # uppercase host → gate rejects
+            None,
+        ]
+    ),
+    _url_text,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_url_text, _fast_base_like)
+@example(href="https://h.test/a?", base=None)  # lone-? query edge
+@example(href="/p/../x", base="https://h.test/a")  # dot segments
+@example(href="//h2.test/p", base="https://h.test/a")  # protocol-relative
+@example(href="https://h.test//x", base="https://h.test/a")  # // path
+@example(href="/p?", base="https://h.test/a")
+@example(href="/;", base="http://0/").via("discovered failure")  # RFC-1808
+# params split: urljoin drops an empty ";params" from the last path
+# segment, so ";" in the path must reject the fast gate (query ";" ok)
+@example(href="https://h.test/a;b", base="https://h.test/")
+@example(href="/p?a=1;b=2", base="https://h.test/")
+def test_canonicalize_fast_path_equivalence(href, base):
+    from website_indexer_spark.functions.urltools import _canonicalize_url_slow
+
+    out = canonicalize_url(href, base)
+    stripped = (href or "").strip()
+    expected = _canonicalize_url_slow(stripped, base) if stripped else None
+    assert out == expected
+
+
+@settings(max_examples=300, deadline=None)
+@given(_url_text, _fast_base_like)
+def test_canonicalize_idempotent_under_same_base(href, base):
+    """canonicalize(canonicalize(x, b), b) == canonicalize(x, b) —
+    the exact invariant canonicalize_links_udf's identity-skip relies
+    on (re-canonicalizing an unchanged unwrap result is a no-op)."""
+    c = canonicalize_url(href, base)
+    if c is not None:
+        assert canonicalize_url(c, base) == c
+
+
 # ------------------------------------------------------------------ #
 # extraction kernel
 # ------------------------------------------------------------------ #

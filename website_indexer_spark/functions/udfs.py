@@ -113,9 +113,13 @@ def canonicalize_links_udf(
             canon = canonicalize_url(href, url)
             if canon is None:
                 continue
-            canon = unwrap_external_site(canon, host or "")
-            # unwrap may yield a relative/odd URL — re-canonicalize
-            canon = canonicalize_url(canon, url)
+            unwrapped = unwrap_external_site(canon, host or "")
+            if unwrapped is not canon:
+                # unwrap may yield a relative/odd URL — re-canonicalize.
+                # Identity returns skip this: the canonical form is a
+                # fixed point (pinned by test_properties idempotence),
+                # so re-canonicalizing an unchanged URL is a no-op.
+                canon = canonicalize_url(unwrapped, url)
             if canon is None or canon in seen:
                 continue
             seen.add(canon)

@@ -155,6 +155,16 @@ BLOOM_AUTO_SEEN_THRESHOLD = 5_000_000
 # task per bucket (VERDICT r3 #2).
 DELTA_WRITE_SINGLE_TASK_MAX = 200_000
 
+# Above this wave size the shared extraction cache is materialized by
+# ONE full-parallelism job BEFORE the concurrent delta writes. A task
+# that first-touches a persisted block another job is computing BLOCKS
+# on the cache lock while holding its task slot, so cold-cache
+# concurrent writers convoy and idle cores; one noop materialization
+# fills the cache contention-free and the writers then read it
+# lock-free. Small waves skip it — their extract cost is below the
+# extra job's fixed cost.
+EAGER_EXTRACT_MATERIALIZE_MIN = 10_000
+
 # Queue size above which a throttled crawl's politeness selection
 # switches from the exact per-host window (one hash exchange of the
 # whole queue per superstep) to the storage-partitioned bucketed
@@ -960,6 +970,12 @@ def run_crawl(
                         ),
                     )
                 )
+            # warm the shared extraction cache before the concurrent
+            # writers (see EAGER_EXTRACT_MATERIALIZE_MIN)
+            if n_selected >= EAGER_EXTRACT_MATERIALIZE_MIN:
+                extracted.write.format("noop").mode("overwrite").save()
+                t = _mark("extract-materialize", t)
+
             def _timed(label, fn):
                 w0 = time.time()
                 fn()
