@@ -136,6 +136,11 @@ def main() -> None:
 
         html_pages = web.filter(F.col("html").isNotNull())
         n_html = html_pages.count()
+        # BENCH_SKIP_EXTRACT: the extraction microbench always covers
+        # the full corpus at least once (replicate >= 1), so on a
+        # multi-million-page corpus it dwarfs the crawl leg — skippable
+        # for crawl-focused measurements (e.g. the amortization A/B)
+        skip_extract = bool(os.environ.get("BENCH_SKIP_EXTRACT"))
         replicate = max(1, -(-extract_target // max(n_html, 1)))
         # replication is map-side (broadcast range crossJoin) over many
         # small file splits — NO shuffle of html bytes, so the timed
@@ -149,21 +154,29 @@ def main() -> None:
         )
         n_extract_rows = n_html * replicate
         # warm the python worker pool + codegen outside the timed run
+        # (still wanted when skipping: the crawl leg uses the same UDF)
         _materialize(
             html_pages.limit(64).select(
                 extract_udf(F.col("html"), F.lit("host0.test")).alias("ex")
             )
         )
         extract_s = float("inf")
-        for _rep in range(max(1, int(os.environ.get("BENCH_EXTRACT_REPEATS", "2")))):
-            t0 = time.time()
-            _materialize(
-                bench_pages.select(
-                    "url", extract_udf(F.col("html"), F.lit("host0.test")).alias("ex")
+        if skip_extract:
+            n_extract_rows = 0
+            extract_s = 0.0
+        else:
+            for _rep in range(
+                max(1, int(os.environ.get("BENCH_EXTRACT_REPEATS", "2")))
+            ):
+                t0 = time.time()
+                _materialize(
+                    bench_pages.select(
+                        "url",
+                        extract_udf(F.col("html"), F.lit("host0.test")).alias("ex"),
+                    )
                 )
-            )
-            extract_s = min(extract_s, time.time() - t0)
-        timings["extract_only"] = round(extract_s, 3)
+                extract_s = min(extract_s, time.time() - t0)
+            timings["extract_only"] = round(extract_s, 3)
         # the 4 MB split size is an extract-bench knob — restore the
         # default so the crawl's lookup scans aren't shredded into
         # hundreds of scheduling-overhead-sized tasks

@@ -230,8 +230,12 @@ def test_dim_upsert_bucketed_matches_plain(spark, tmp_path):
 
 
 def test_dim_upsert_bucketed_plan_single_exchange(spark, tmp_path):
-    """One exchange total (the bucket repartition — distinct is folded
-    partition-local), no dims-side scan, no broadcast."""
+    """Default (pre_distinct): exactly two exchanges — the wave's
+    dropDuplicates (whose partial HashAggregate collapses web-fan-out
+    href repeats map-side, BEFORE any bytes cross the wire) plus the
+    bucket repartition; pre_distinct=False folds dedup into the probe
+    and keeps the single bucket exchange. Neither shape scans the dims
+    table or broadcasts anything."""
     import io
     from contextlib import redirect_stdout
 
@@ -244,11 +248,24 @@ def test_dim_upsert_bucketed_plan_single_exchange(spark, tmp_path):
     incoming = spark.createDataFrame(
         [("link", f"/q{i}/") for i in range(50)], DIMS_SCHEMA
     )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
     out = dim_upsert_delta_bucketed(incoming, backend.bucketed_files("dims"), 4)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        out.explain()
-    plan = buf.getvalue()
+    plan = plan_of(out)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_" in plan or "HashAggregate" in plan, plan
+    assert "dstore" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+    folded = dim_upsert_delta_bucketed(
+        incoming, backend.bucketed_files("dims"), 4, pre_distinct=False
+    )
+    plan = plan_of(folded)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "dstore" not in plan, plan
     assert "BroadcastExchange" not in plan, plan

@@ -373,7 +373,8 @@ def crawl_operator_plans(spark, work_dir: str):
 
     # dims MERGE above the broadcast threshold: storage-partitioned
     # probe against the kind/bucket dims layout — exact on the key
-    # strings, one exchange total (distinct folded partition-local).
+    # strings; default shape pre-collapses the wave's repeated hrefs
+    # with a map-side partial aggregate before the bucket exchange.
     from website_indexer_spark.operators.dims import dim_upsert_delta_bucketed
     from website_indexer_spark.sources.tables import DIMS_BUCKETS
 
@@ -396,9 +397,29 @@ def crawl_operator_plans(spark, work_dir: str):
             ("dims table absent from the plan: probe tasks point-read "
              "their bucket's files executor-side",
              lambda p: "bstore" not in p),
-            ("ONE exchange total — the bucket repartition; the MERGE "
-             "distinct is folded partition-local, no dims-side or "
-             "distinct exchange",
+            ("TWO exchanges total — the wave's pre-distinct (whose "
+             "partial HashAggregate collapses web-fan-out href repeats "
+             "map-side, before any bytes cross the wire) plus the "
+             "bucket repartition; no dims-side exchange",
+             lambda p: p.count("Arguments: hashpartitioning") == 2
+             and "HashAggregate" in p),
+            ("probe is an Arrow-batched MapInPandas",
+             lambda p: "MapInPandas" in p),
+        ],
+    )
+
+    plans["dims_merge_delta_bucketed_folded"] = (
+        dim_upsert_delta_bucketed(
+            incoming_dims,
+            backend.bucketed_files("dims"),
+            DIMS_BUCKETS,
+            pre_distinct=False,
+        ),
+        [
+            ("dims table absent from the plan",
+             lambda p: "bstore" not in p),
+            ("ONE exchange total — the bucket repartition; dedup folds "
+             "into the probe pass (for mostly-unique waves)",
              lambda p: p.count("Arguments: hashpartitioning") == 1),
             ("probe is an Arrow-batched MapInPandas",
              lambda p: "MapInPandas" in p),

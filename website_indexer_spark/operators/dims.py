@@ -75,6 +75,7 @@ def dim_upsert_delta_bucketed(
     bucket_files: dict,
     n_buckets: int,
     key_cols: Union[str, List[str]] = ("kind", "key"),
+    pre_distinct: bool = True,
 ) -> DataFrame:
     """The MERGE delta for waves too big to broadcast, computed
     storage-partitioned against the hash-bucketed dims layout
@@ -88,9 +89,18 @@ def dim_upsert_delta_bucketed(
     executor-side. Unlike the seen set, membership is decided on the
     EXACT key strings (pandas MultiIndex isin over the bucket's
     (kind, key) columns) — the 64-bit hash only routes rows to
-    buckets, so collisions cannot drop a new key. The MERGE's distinct
-    is folded into the same pass: bucketing co-locates all copies of a
-    key, so dedup is partition-local (no separate distinct exchange)."""
+    buckets, so collisions cannot drop a new key.
+
+    The MERGE's distinct: with ``pre_distinct`` (default) a Spark-side
+    ``dropDuplicates`` collapses the wave's repeated keys with a
+    map-side partial aggregate BEFORE any exchange — at web fan-out
+    the exploded href stream is overwhelmingly duplicates (nav/footer
+    links recur on every page), so shipping only distinct keys shrinks
+    both exchanges and the probe's input by the duplication factor.
+    With ``pre_distinct=False`` the dedup folds into the probe pass
+    instead (bucketing co-locates all copies of a key, so it stays
+    partition-local) — fewer exchanges, more probe input; right when
+    the wave's keys are mostly unique."""
     import os as _os
     from typing import Iterator
 
@@ -128,6 +138,11 @@ def dim_upsert_delta_bucketed(
             return pdf[cols]
 
         def bucket_index(b: int):
+            # a UNIQUE MultiIndex so get_indexer's cached hash engine
+            # answers membership per batch without re-hashing the
+            # committed side (the old per-batch `.isin(idx)` rebuilt a
+            # hash set of the whole bucket for EVERY ~10k-row Arrow
+            # batch — quadratic in batch count once the dim grew)
             idx = loaded.get(b)
             if idx is None:
                 frames = [
@@ -138,7 +153,7 @@ def dim_upsert_delta_bucketed(
                 if frames:
                     idx = pd.MultiIndex.from_frame(
                         pd.concat(frames, ignore_index=True)[cols]
-                    )
+                    ).unique()
                 else:
                     idx = pd.MultiIndex.from_arrays([[] for _ in cols])
                 loaded[b] = idx
@@ -157,9 +172,14 @@ def dim_upsert_delta_bucketed(
                 idx = bucket_index(int(b))
                 if len(idx) == 0:
                     continue
-                keep_mask[sel] = ~row_index[sel].isin(idx)
+                keep_mask[sel] = idx.get_indexer(row_index[sel]) == -1
             out = pdf.loc[keep_mask, cols]
             if len(out) == 0:
+                continue
+            if known_distinct:
+                # the Spark-side pre-distinct already made the input
+                # globally unique — no in-task bookkeeping needed
+                yield out
                 continue
             # vectorized first-wins: in-batch duplicates fold via
             # drop_duplicates (keep='first' preserves arrival order);
@@ -175,6 +195,15 @@ def dim_upsert_delta_bucketed(
                 yield out
 
     inc = incoming.select(*cols).na.drop(subset=cols)
+    known_distinct = bool(pre_distinct)
+    if pre_distinct:
+        # Web waves repeat hrefs massively (nav/footer links recur on
+        # every page of a host), so collapsing duplicates BEFORE the
+        # bucket exchange is almost always a volume win: dropDuplicates
+        # plans a partial (map-side) HashAggregate, so each upstream
+        # task ships only its distinct keys. Costs one extra (small,
+        # already-distinct) exchange into the bucket layout below.
+        inc = inc.dropDuplicates(cols)
     inc = inc.withColumn(
         "_bk", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(nb))
     )

@@ -773,6 +773,14 @@ def run_crawl(
             )
             seq_persists: list = []
             if est_accepted > DISTRIBUTED_SEQ_THRESHOLD:
+                # persist the accepted chain BEFORE the range exchange:
+                # repartitionByRange's boundary-sampling job scans its
+                # whole (uncached) upstream, so without this the
+                # harvest → canonicalize → policy → seen-probe chain
+                # runs twice per fat superstep — the sampling pass now
+                # populates the cache the real pass reads
+                accepted = accepted.persist()
+                seq_persists.append(accepted)
                 enqueued = assign_ordered_seq(
                     accepted,
                     ["depth", "parent_seq", "url"],
