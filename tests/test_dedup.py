@@ -155,3 +155,82 @@ def test_minhash_lsh_precision_and_recall(spark):
         # at j=0.7 the per-pair capture probability is
         # 1-(1-0.7^4)^16 ≈ 0.99; demand >= 0.9 overall
         assert len(lsh) >= 0.9 * len(exact)
+
+
+# ------------------------------------------------------------------
+# Span-level exact substring dedup (dedup.duplicate_spans /
+# remove_duplicate_spans — Lee et al. ACL 2022 ExactSubstr,
+# re-expressed relationally). Oracle: independent Python
+# re-derivation of "merge runs of >=2x L-token shingles".
+# ------------------------------------------------------------------
+
+SPAN_DOCS = [
+    (0, "a b c d e f g h"),                     # shares a..f with doc 1
+    (1, "x y a b c d e f q r"),
+    (2, "p q r s t p q r s t"),                  # within-doc repeat
+    (3, "unique0 unique1 unique2 unique3 unique4 unique5 unique6"),
+    (4, "one two"),                              # shorter than a shingle
+    (5, ""),
+]
+
+
+def _span_oracle(docs, L=5, min_count=2):
+    from collections import Counter
+
+    sh = {}  # doc -> [(pos, gram)]
+    for d, t in docs:
+        toks = t.split()
+        sh[d] = [
+            (i, " ".join(toks[i : i + L]))
+            for i in range(len(toks) - L + 1)
+        ]
+    cnt = Counter(g for lst in sh.values() for _, g in lst)
+    spans = {}
+    for d, lst in sh.items():
+        hits = [p for p, g in lst if cnt[g] >= min_count]
+        out = []
+        for p in sorted(hits):
+            if out and p <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], p + L), out[-1][2] + 1)
+            else:
+                out.append((p, p + L, 1))
+        spans[d] = out
+    return spans
+
+
+def test_duplicate_spans_vs_python_oracle(spark):
+    df = spark.createDataFrame(SPAN_DOCS, ["doc_id", "text"])
+    got = {}
+    for r in dedup.duplicate_spans(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_shingles"])
+        )
+    exp = {
+        d: sorted(s) for d, s in _span_oracle(SPAN_DOCS).items() if s
+    }
+    assert {d: sorted(s) for d, s in got.items()} == exp
+    # hand-check the interesting shapes
+    assert exp[0] == [(0, 6, 2)]       # a..f run = two merged shingles
+    assert exp[1] == [(2, 8, 2)]
+    assert exp[2] == [(0, 10, 2)]      # touching islands merge
+    assert 3 not in exp and 4 not in exp and 5 not in exp
+
+
+def test_remove_duplicate_spans(spark):
+    df = spark.createDataFrame(SPAN_DOCS, ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r for r in dedup.remove_duplicate_spans(df).collect()
+    }
+    assert set(rows) == {d for d, _ in SPAN_DOCS}  # all docs survive
+    spans = _span_oracle(SPAN_DOCS)
+    for d, t in SPAN_DOCS:
+        toks = t.split()
+        cut = {
+            i for s, e, _ in spans.get(d, []) for i in range(s, e)
+        }
+        exp = " ".join(tok for i, tok in enumerate(toks) if i not in cut)
+        assert rows[d]["clean_text"] == exp, d
+        assert rows[d]["n_tokens_removed"] == len(cut & set(range(len(toks))))
+    # pass-through docs are token-normalized, not byte-identical
+    assert rows[3]["clean_text"] == SPAN_DOCS[3][1]
+    assert rows[5]["clean_text"] == ""

@@ -116,3 +116,105 @@ def test_fingerprint_overlap_pairs(spark):
     )
     pairs = ts.fingerprint_overlap_pairs(df, "doc_id", min_common=2).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+
+
+# ------------------------------------------------------------------
+# Gopher/MassiveText repetition stats (textstats.repetition_stats).
+# Oracle: an independent Python re-derivation of the documented
+# definitions (block comment at textstats.py repetition section).
+# ------------------------------------------------------------------
+
+REP_DOCS = [
+    # newline doc: real lines, one duplicated
+    (0, "aaa bbb\naaa bbb\nccc ddd"),
+    # single-line doc that wraps every 10 tokens: first two wrapped
+    # lines identical, third short and unique
+    (1, " ".join(["w%d" % i for i in range(10)] * 2 + ["u0 u1 u2"])),
+    # heavy bigram repetition (top_ngram + dup_ngram signals)
+    (2, "spam ham " * 20),
+    # clean prose, no repetition (long enough that its single most
+    # common bigram is a small char fraction, as in real documents)
+    (3, " ".join("tok%02d word%02d" % (i, i) for i in range(40))),
+    # empty + whitespace-only
+    (4, ""),
+    (5, "   "),
+    # blank lines dropped from real-line derivation
+    (6, "left side\n\n \nleft side\nright side"),
+]
+
+
+def _rep_oracle(text, wrap=10, top_n=2, dup_n=5):
+    from collections import Counter
+
+    toks = text.split()
+    if "\n" in text:
+        lines = [l.strip() for l in text.split("\n") if l.strip() != ""]
+    elif toks:
+        lines = [
+            " ".join(toks[i : i + wrap]) for i in range(0, len(toks), wrap)
+        ]
+    else:
+        lines = []
+    chars = max(len(text), 1)
+    lc = Counter(lines)
+    n_lines = len(lines)
+    dup_line_frac = 1.0 - len(lc) / n_lines if n_lines else 0.0
+    line_chars = sum(len(l) for l in lines)
+    dup_line_char_frac = (
+        sum((c - 1) * len(l) for l, c in lc.items()) / max(line_chars, 1)
+    )
+
+    def grams(n):
+        return Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    tg = grams(top_n)
+    if tg:
+        cnt, item = max((c, g) for g, c in tg.items())
+        top_frac = cnt * len(item) / chars
+    else:
+        top_frac = 0.0
+    dg = grams(dup_n)
+    dup_frac = sum((c - 1) * len(g) for g, c in dg.items() if c > 1) / chars
+    return (n_lines, dup_line_frac, dup_line_char_frac, top_frac, dup_frac)
+
+
+def test_repetition_stats_vs_python_oracle(spark):
+    df = spark.createDataFrame(REP_DOCS, ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r for r in ts.repetition_stats(df).collect()
+    }
+    assert set(rows) == {d for d, _ in REP_DOCS}  # empty docs survive
+    for doc_id, text in REP_DOCS:
+        exp = _rep_oracle(text)
+        got = rows[doc_id]
+        assert got["n_lines"] == exp[0], (doc_id, "n_lines")
+        assert got["dup_line_frac"] == pytest.approx(exp[1]), doc_id
+        assert got["dup_line_char_frac"] == pytest.approx(exp[2]), doc_id
+        assert got["top_ngram_char_frac"] == pytest.approx(exp[3]), doc_id
+        assert got["dup_ngram_char_frac"] == pytest.approx(exp[4]), doc_id
+
+
+def test_repetition_stats_hand_values(spark):
+    # doc 0 fully hand-computed: lines [aaa bbb, aaa bbb, ccc ddd]
+    df = spark.createDataFrame([REP_DOCS[0]], ["doc_id", "text"])
+    r = ts.repetition_stats(df).first()
+    assert r["n_lines"] == 3
+    assert r["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r["dup_line_char_frac"] == pytest.approx(7 / 21)
+    # bigram 'aaa bbb' x2, text length 23
+    assert r["top_ngram_char_frac"] == pytest.approx(2 * 7 / 23)
+    # only two distinct 5-grams, each once
+    assert r["dup_ngram_char_frac"] == 0.0
+
+
+def test_repetition_filter_drops_spammy(spark):
+    df = spark.createDataFrame(
+        [REP_DOCS[2], REP_DOCS[3]], ["doc_id", "text"]
+    )
+    kept = ts.repetition_filter(df, id_col="doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {3}  # spam ham x20 trips top/dup-ngram thresholds
+    # all original columns survive
+    assert set(kept.columns) == {"doc_id", "text"}

@@ -204,6 +204,199 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprints", fingerprint_udf(F.col(text_col)))
 
 
+# --------------------------------------------------------------------
+# Repetition statistics — the Gopher/MassiveText repetition-quality
+# family (Rae et al. 2021, appendix A1.1): fraction of duplicate
+# lines, fraction of characters in duplicate lines, fraction of
+# characters in the most frequent word n-gram, fraction of characters
+# in duplicated word n-grams. Web-pipeline staples the reference has
+# no notion of (it indexes pages; it does not score them).
+#
+# Everything is explode -> groupBy -> partial agg -> per-doc agg: one
+# shuffle keyed by (doc_id, line|ngram) — uniform keys, map-side
+# combine, no window over the corpus — then one shuffle keyed by
+# doc_id. Both are size-bounded by the token stream, so the plan is
+# the same shape at 100 TB as at sf0.001.
+#
+# Definitional choices (documented because Gopher's prose is loose):
+# * "lines": crawled page text keeps its newlines; the synthetic
+#   documents table is single-line, so callers may derive lines by
+#   wrapping every `wrap_tokens` tokens (same rule in the DuckDB
+#   oracle — byte-identical line sets both sides).
+# * dup_line_frac       = 1 - distinct_lines / total_lines
+# * dup_line_char_frac  = chars in repeat occurrences (beyond each
+#   line's first) / chars in all lines
+# * top_ngram_char_frac = count(top n-gram) * len(top n-gram) /
+#   len(text); ties broken by the lexicographically GREATEST n-gram
+#   so both engines agree deterministically
+# * dup_ngram_char_frac = sum over n-grams seen >1 time of
+#   (count-1) * len(ngram) / len(text). Gopher de-overlaps covered
+#   character ranges; this overlap-counting variant is monotone in
+#   the same signal, exactly SQL-expressible, and is the documented
+#   deviation (see COVERAGE.md).
+# --------------------------------------------------------------------
+
+REP_TOP_N = 2   # n for the top-n-gram-char-fraction signal
+REP_DUP_N = 5   # n for the duplicated-n-gram-char-fraction signal
+
+
+def wrapped_lines(col: Column, wrap_tokens: int = 10) -> Column:
+    """array<string> of lines: split on newlines when present,
+    otherwise wrap every `wrap_tokens` whitespace tokens (for the
+    single-line synthetic corpus). A doc with any newline uses its
+    real lines verbatim (blank lines dropped, matching Gopher's
+    non-empty-line convention)."""
+    real = F.filter(
+        F.transform(F.split(col, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    toks = tokens(col)
+    n = F.size(toks)
+    wrapped = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.ceil(n.cast("double") / F.lit(wrap_tokens)).cast("int") - 1,
+                F.lit(0),
+            ),
+        ),
+        lambda i: F.array_join(
+            F.slice(toks, i * wrap_tokens + 1, wrap_tokens), " "
+        ),
+    )
+    return F.when(F.contains(col, F.lit("\n")), real).otherwise(
+        F.when(n > 0, wrapped).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """array<string> of space-joined word n-grams (empty for short docs)."""
+    toks = tokens(col)
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    wrap_tokens: int = 10,
+    top_n: int = REP_TOP_N,
+    dup_n: int = REP_DUP_N,
+) -> DataFrame:
+    """Per-doc repetition signals (see block comment for definitions).
+
+    Output: (id_col, n_lines, dup_line_frac, dup_line_char_frac,
+    top_ngram_char_frac, dup_ngram_char_frac). Docs with zero lines /
+    zero n-grams report 0.0 for the respective fractions.
+    """
+    # ONE pass: tag every line / top-gram / dup-gram with a kind and
+    # explode them together (plus a sentinel per doc so empty docs
+    # survive), count per (doc, kind, item), then fold to one row per
+    # doc with conditional aggregates. One parquet scan, two shuffles
+    # (first keyed by the uniform (doc, kind, item) — map-side combine
+    # absorbs within-doc repeats; second keyed by doc) — versus the
+    # naive three-leg/three-join plan's four scans and six shuffles.
+    tag = lambda kind, arr: F.transform(  # noqa: E731
+        arr, lambda v: F.struct(F.lit(kind).alias("kind"), v.alias("item"))
+    )
+    text = F.col(text_col)
+    exploded = df.select(
+        F.col(id_col).alias("_doc"),
+        F.length(text).alias("_chars"),
+        F.explode(
+            F.concat(
+                tag("L", wrapped_lines(text, wrap_tokens)),
+                tag("T", word_ngrams(text, top_n)),
+                tag("D", word_ngrams(text, dup_n)),
+                F.array(
+                    F.struct(
+                        F.lit("_").alias("kind"), F.lit("").alias("item")
+                    )
+                ),
+            )
+        ).alias("e"),
+    ).select("_doc", "_chars", "e.kind", "e.item")
+    counts = exploded.groupBy("_doc", "_chars", "kind", "item").agg(
+        F.count("*").alias("cnt")
+    )
+    is_l = F.col("kind") == "L"
+    is_t = F.col("kind") == "T"
+    is_d = F.col("kind") == "D"
+    item_len = F.length("item")
+    per_doc = counts.groupBy("_doc", "_chars").agg(
+        F.coalesce(F.sum(F.when(is_l, F.col("cnt"))), F.lit(0)).alias(
+            "n_lines"
+        ),
+        F.count(F.when(is_l, F.lit(1))).alias("_distinct_lines"),
+        F.sum(F.when(is_l, (F.col("cnt") - 1) * item_len)).alias(
+            "_dup_line_chars"
+        ),
+        F.sum(F.when(is_l, F.col("cnt") * item_len)).alias("_line_chars"),
+        F.max(F.when(is_t, F.struct("cnt", "item"))).alias("_top"),
+        F.sum(
+            F.when(is_d & (F.col("cnt") > 1), (F.col("cnt") - 1) * item_len)
+        ).alias("_dup_gram_chars"),
+    )
+    safe_chars = F.greatest(F.col("_chars"), F.lit(1)).cast("double")
+    return per_doc.select(
+        F.col("_doc").alias(id_col),
+        "n_lines",
+        F.when(
+            F.col("n_lines") > 0,
+            F.lit(1.0)
+            - F.col("_distinct_lines").cast("double")
+            / F.col("n_lines").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        (
+            F.coalesce(F.col("_dup_line_chars"), F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(F.col("_line_chars"), F.lit(0)), F.lit(1))
+            .cast("double")
+        ).alias("dup_line_char_frac"),
+        F.coalesce(
+            (F.col("_top.cnt") * F.length("_top.item")).cast("double")
+            / safe_chars,
+            F.lit(0.0),
+        ).alias("top_ngram_char_frac"),
+        (
+            F.coalesce(F.col("_dup_gram_chars"), F.lit(0)).cast("double")
+            / safe_chars
+        ).alias("dup_ngram_char_frac"),
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_ngram_char_frac: float = 0.20,
+    max_dup_ngram_char_frac: float = 0.60,
+    wrap_tokens: int = 10,
+) -> DataFrame:
+    """Gopher-style keep rule: drop docs whose repetition signals
+    exceed the thresholds (defaults are in the band Gopher table A1
+    uses). Returns the surviving rows of `df` (all original columns).
+    """
+    stats = repetition_stats(
+        df, id_col=id_col, text_col=text_col, wrap_tokens=wrap_tokens
+    )
+    keep = stats.filter(
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top_ngram_char_frac") <= max_top_ngram_char_frac)
+        & (F.col("dup_ngram_char_frac") <= max_dup_ngram_char_frac)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def fingerprint_overlap_pairs(
     df: DataFrame, id_col: str, min_common: int = 2
 ) -> DataFrame:

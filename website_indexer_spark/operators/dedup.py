@@ -442,3 +442,144 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------
+# Span-level exact substring dedup (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", ACL 2022 — the
+# ExactSubstr method, re-expressed relationally). Instead of the
+# paper's suffix array, duplicated regions are found as runs of
+# L-token shingles whose corpus-wide occurrence count is >= 2: any
+# duplicated substring of >= L tokens is covered by such shingles,
+# and merging overlapping shingle hits per document reconstructs the
+# maximal duplicated spans.
+#
+# Scale shape: ONE corpus-wide shuffle keyed by the shingle string
+# (uniform after partial agg — within-partition repeats combine
+# map-side), one equi-join back (positions x counts on the same key),
+# then a per-document window (partitioned by doc_id — documents are
+# the unit of parallelism, so no giant partition) and a (doc, island)
+# groupBy. No self-join, no all-pairs, no suffix array to hold in
+# memory. 100 TB = same plan with more shuffle partitions.
+# --------------------------------------------------------------------
+
+SPAN_SHINGLE_TOKENS = 5
+
+
+def _shingle_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, pos, shingle) for every token position 0..n_tokens-L;
+    pos is the 0-based index of the shingle's first token."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "shingle")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_tokens: int = SPAN_SHINGLE_TOKENS,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    A position is duplicated when its L-token shingle occurs
+    >= min_count times corpus-wide (within- and cross-document
+    repeats both count — same convention as the released ExactSubstr
+    tool, which deduplicates a self-concatenated corpus). Overlapping
+    and touching hits merge into maximal [span_start, span_end) token
+    intervals.
+
+    Output: (id_col, span_start, span_end, n_shingles) with
+    span_end exclusive and n_shingles the number of duplicated
+    shingle positions the span absorbed.
+    """
+    from pyspark.sql import Window
+
+    pos = _shingle_positions(df, id_col, text_col, shingle_tokens)
+    counts = (
+        pos.groupBy("shingle")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("shingle")
+    )
+    hits = pos.join(counts, "shingle").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + shingle_tokens).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        "doc",
+        "pos",
+        F.sum(
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return (
+        islands.groupBy("doc", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + shingle_tokens).alias("span_end"),
+            F.count("*").alias("n_shingles"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "span_start", "span_end", "n_shingles"
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_tokens: int = SPAN_SHINGLE_TOKENS,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rebuild each document's text with every duplicated span's
+    tokens removed (ALL occurrences — the released ExactSubstr tool's
+    documented approximation; a keep-one policy needs a global
+    occurrence order, which a later exact-dedup pass restores more
+    cheaply). Documents with no duplicated spans pass through
+    verbatim (token-normalized: single-space joined).
+
+    Output: (id_col, clean_text, n_tokens_removed).
+    """
+    spans = duplicate_spans(
+        df, id_col, text_col, shingle_tokens, min_count
+    ).groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    with_spans = df.select(F.col(id_col), toks.alias("_toks")).join(
+        spans, id_col, "left"
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — 0-based token index i
+        F.col("_spans"),
+        lambda s: (i >= s.span_start) & (i < s.span_end),
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(F.col("_toks"), lambda t, i: ~covered(i))
+    )
+    return with_spans.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("_toks") - F.size(kept)).alias("n_tokens_removed"),
+    )

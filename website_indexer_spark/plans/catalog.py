@@ -708,6 +708,50 @@ def q_embedding_dup_pairs_lsh(spark, sf):  # no SQL mirror (approximate)
     ).select("a", "b")
 
 
+REP_FILTER_THRESHOLDS = dict(
+    max_dup_line_frac=0.30,
+    max_dup_line_char_frac=0.20,
+    max_top_ngram_char_frac=0.20,
+    max_dup_ngram_char_frac=0.60,
+)
+
+
+def q_repetition_stats(spark, sf):
+    """Gopher/MassiveText repetition signals per document (Rae et al.
+    2021 A1.1): duplicate-line fraction + char fraction, top-bigram
+    char fraction, duplicated-5-gram char fraction. Single-pass
+    tagged-explode plan (functions/textstats.py:repetition_stats)."""
+    return ts.repetition_stats(_t(spark, sf, "documents"))
+
+
+def q_repetition_filter(spark, sf):
+    """The Gopher keep-rule applied: docs whose repetition signals
+    stay under the A1-style thresholds (survivor id + source)."""
+    return ts.repetition_filter(
+        _t(spark, sf, "documents"), **REP_FILTER_THRESHOLDS
+    ).select("doc_id", "source")
+
+
+def q_dedup_spans(spark, sf):
+    """Span-level exact substring dedup (Lee et al. ACL 2022,
+    ExactSubstr re-expressed relationally): maximal duplicated
+    >=5-token spans per doc (operators/dedup.py:duplicate_spans)."""
+    return dedup.duplicate_spans(_t(spark, sf, "documents")).withColumn(
+        "span_start", F.col("span_start").cast("int")
+    ).withColumn("span_end", F.col("span_end").cast("int"))
+
+
+def q_dedup_span_removal(spark, sf):
+    """The removal half of ExactSubstr: every duplicated span's tokens
+    cut from the text (all occurrences — the released tool's
+    convention), pass-through docs token-normalized."""
+    return dedup.remove_duplicate_spans(_t(spark, sf, "documents")).select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens_removed").cast("int").alias("n_tokens_removed"),
+    )
+
+
 def q_warc_ingest(spark, sf):
     """SURVEY §9.12 WARC source as a first-class oracle gate (VERDICT
     r3 #7): deterministic synthetic archives built from the documents
@@ -801,6 +845,10 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "warc_ingest": q_warc_ingest,
+    "repetition_stats": q_repetition_stats,
+    "repetition_filter": q_repetition_filter,
+    "dedup_spans": q_dedup_spans,
+    "dedup_span_removal": q_dedup_span_removal,
 }
 
 
@@ -1352,3 +1400,140 @@ WHERE doc_id NOT IN (SELECT c_doc FROM bad)
 
 
 ORACLE_SQL["pretrain_pipeline"] = _pretrain_pipeline_sql()
+
+
+# --------------------------------------------------------------------
+# Repetition stats / filter + span-level substring dedup oracles.
+# The CTE bodies mirror the Spark plans stage for stage: same token
+# split regex, same wrap-every-10-tokens line derivation, same
+# (count, gram)-lexicographic top-n-gram tie-break, same island
+# merge. Doubles are single divisions of exact ints both sides.
+# --------------------------------------------------------------------
+
+_REPETITION_AGG_SQL = r"""
+WITH rs_base AS (
+  SELECT doc_id, length(text) AS chars, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), rs_derived AS (
+  SELECT doc_id, chars,
+    CASE WHEN contains(text, chr(10)) THEN
+      list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                  l -> l <> '')
+    WHEN len(t) > 0 THEN
+      list_transform(generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1),
+                     i -> array_to_string(t[i*10+1 : i*10+10], ' '))
+    ELSE [] END AS ls,
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(generate_series(1, len(t)-1),
+                     i -> array_to_string(t[i:i+1], ' '))
+    ELSE [] END AS tg,
+    CASE WHEN len(t) >= 5 THEN
+      list_transform(generate_series(1, len(t)-4),
+                     i -> array_to_string(t[i:i+4], ' '))
+    ELSE [] END AS dg
+  FROM rs_base
+), rs_ex AS (
+  SELECT doc_id, chars, 'L' AS kind, unnest(ls) AS item FROM rs_derived
+  UNION ALL SELECT doc_id, chars, 'T' AS kind, unnest(tg) AS item FROM rs_derived
+  UNION ALL SELECT doc_id, chars, 'D' AS kind, unnest(dg) AS item FROM rs_derived
+  UNION ALL SELECT doc_id, chars, '_' AS kind, '' AS item FROM rs_derived
+), rs_cnts AS (
+  SELECT doc_id, chars, kind, item, count(*) AS cnt
+  FROM rs_ex GROUP BY doc_id, chars, kind, item
+), rs_agg AS (
+  SELECT doc_id, chars,
+    CAST(coalesce(sum(cnt) FILTER (WHERE kind='L'), 0) AS BIGINT) AS n_lines,
+    count(*) FILTER (WHERE kind='L') AS dl,
+    sum((cnt-1)*length(item)) FILTER (WHERE kind='L') AS dlc,
+    sum(cnt*length(item)) FILTER (WHERE kind='L') AS lc,
+    max({'cnt': cnt, 'item': item}) FILTER (WHERE kind='T') AS top,
+    sum((cnt-1)*length(item)) FILTER (WHERE kind='D' AND cnt>1) AS dgc
+  FROM rs_cnts GROUP BY doc_id, chars
+), rs_stats AS (
+  SELECT doc_id, n_lines,
+    CASE WHEN n_lines > 0 THEN 1.0 - CAST(dl AS DOUBLE)/n_lines
+         ELSE 0.0 END AS dup_line_frac,
+    CAST(coalesce(dlc, 0) AS DOUBLE)/greatest(coalesce(lc, 0), 1)
+      AS dup_line_char_frac,
+    coalesce(CAST(top.cnt*length(top.item) AS DOUBLE)/greatest(chars, 1), 0.0)
+      AS top_ngram_char_frac,
+    CAST(coalesce(dgc, 0) AS DOUBLE)/greatest(chars, 1)
+      AS dup_ngram_char_frac
+  FROM rs_agg
+)
+"""
+
+ORACLE_SQL["repetition_stats"] = (
+    _REPETITION_AGG_SQL
+    + "SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,\n"
+    "       top_ngram_char_frac, dup_ngram_char_frac FROM rs_stats"
+)
+
+ORACLE_SQL["repetition_filter"] = (
+    _REPETITION_AGG_SQL
+    + f"""SELECT d.doc_id, d.source FROM documents d
+JOIN rs_stats s ON s.doc_id = d.doc_id
+WHERE s.dup_line_frac <= {REP_FILTER_THRESHOLDS['max_dup_line_frac']}
+  AND s.dup_line_char_frac <= {REP_FILTER_THRESHOLDS['max_dup_line_char_frac']}
+  AND s.top_ngram_char_frac <= {REP_FILTER_THRESHOLDS['max_top_ngram_char_frac']}
+  AND s.dup_ngram_char_frac <= {REP_FILTER_THRESHOLDS['max_dup_ngram_char_frac']}
+"""
+)
+
+_SPAN_ISLANDS_SQL = r"""
+WITH sp_toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), sp_pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(t)-4)) AS i, t
+  FROM sp_toks WHERE len(t) >= 5
+), sp_sh AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM sp_pos
+), sp_keep AS (
+  SELECT shingle FROM sp_sh GROUP BY shingle HAVING count(*) >= 2
+), sp_hits AS (
+  SELECT doc_id, pos FROM sp_sh JOIN sp_keep USING (shingle)
+), sp_isl AS (
+  SELECT doc_id, pos,
+    sum(CASE WHEN prev IS NULL OR pos > prev THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+      max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        AS prev
+    FROM sp_hits) z
+), sp_spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e,
+         CAST(count(*) AS BIGINT) AS n_shingles
+  FROM sp_isl GROUP BY doc_id, island
+)
+"""
+
+ORACLE_SQL["dedup_spans"] = (
+    _SPAN_ISLANDS_SQL
+    + "SELECT doc_id, CAST(s AS INT) AS span_start,\n"
+    "       CAST(e AS INT) AS span_end, n_shingles FROM sp_spans"
+)
+
+ORACLE_SQL["dedup_span_removal"] = (
+    _SPAN_ISLANDS_SQL
+    + r""", sp_lists AS (
+  SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM sp_spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(array_to_string(
+    CASE WHEN sp.spans IS NULL THEN t.t
+         ELSE list_filter(t.t, (x, i) ->
+              len(list_filter(sp.spans, v -> i - 1 >= v.s AND i - 1 < v.e)) = 0)
+    END, ' '), '') AS clean_text,
+  CAST(len(t.t) - CASE WHEN sp.spans IS NULL THEN len(t.t)
+       ELSE len(list_filter(t.t, (x, i) ->
+            len(list_filter(sp.spans, v -> i - 1 >= v.s AND i - 1 < v.e)) = 0))
+       END AS INT) AS n_tokens_removed
+FROM sp_toks t LEFT JOIN sp_lists sp ON t.doc_id = sp.doc_id
+"""
+)
