@@ -171,8 +171,8 @@ def _rep_oracle(text, wrap=10, top_n=2, dup_n=5):
 
     tg = grams(top_n)
     if tg:
-        cnt, item = max((c, g) for g, c in tg.items())
-        top_frac = cnt * len(item) / chars
+        cnt, ln = max((c, len(g)) for g, c in tg.items())
+        top_frac = cnt * ln / chars
     else:
         top_frac = 0.0
     dg = grams(dup_n)

@@ -118,6 +118,49 @@ CHECKS = {
         ("global top-k via TakeOrdered, no full sort materialized",
          lambda p: "TakeOrderedAndProject" in p),
     ],
+    "repetition_stats": [
+        ("single tagged-explode pass: exactly TWO hash exchanges "
+         "(uniform (doc,kind,item) count, then the per-doc fold)",
+         lambda p: p.count("Arguments: hashpartitioning") == 2),
+        ("map-side partial aggregation before each shuffle",
+         lambda p: "partial" in p.lower()),
+        ("every aggregate is hash-based — the packed-bigint top-gram "
+         "max keeps the per-doc fold off the SortAggregate path "
+         "(max over a struct/string buffer would sort the whole "
+         "token-stream-sized intermediate twice)",
+         lambda p: "SortAggregate" not in p),
+        ("ONE parquet scan feeds all three signal families",
+         lambda p: p.count("Location:") == 1),
+    ],
+    "repetition_filter": [
+        ("keep-rule re-enters the corpus as a broadcast LEFT SEMI "
+         "join on doc_id (no distinct, no inner+dedup)",
+         lambda p: "LeftSemi" in p),
+        ("no cartesian / nested loop anywhere",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+    ],
+    "dedup_spans": [
+        ("duplicated-shingle candidate join is an equi hash join on "
+         "the shingle string — never a cartesian / nested loop",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("exactly TWO hash exchanges: the corpus-wide shingle count "
+         "and the per-doc island window; both window passes share "
+         "ONE sort and the (doc, island) span fold reuses the "
+         "window's partitioning (no third exchange)",
+         lambda p: p.count("Arguments: hashpartitioning") == 2),
+        ("map-side partial aggregation under the shingle count",
+         lambda p: "partial" in p.lower()),
+    ],
+    "dedup_span_removal": [
+        ("span list rejoins the corpus as an equi join on doc_id; "
+         "the covered-token cut is a JVM higher-order filter, not "
+         "Python",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p
+         and "MapInPandas" not in p and "EvalPython" not in p),
+        ("still exactly TWO hash exchanges end-to-end — the removal "
+         "half adds joins, not shuffles",
+         lambda p: p.count("Arguments: hashpartitioning") == 2),
+    ],
     "decontam_report": [
         ("shingle join is an equi hash join (never a cross product)",
          lambda p: "Join" in p and "Cartesian" not in p

@@ -227,8 +227,9 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
 # * dup_line_char_frac  = chars in repeat occurrences (beyond each
 #   line's first) / chars in all lines
 # * top_ngram_char_frac = count(top n-gram) * len(top n-gram) /
-#   len(text); ties broken by the lexicographically GREATEST n-gram
-#   so both engines agree deterministically
+#   len(text); ties broken by the LONGEST n-gram — and a residual
+#   (count, length) tie leaves the product unchanged, so the value
+#   is tie-free and both engines agree deterministically
 # * dup_ngram_char_frac = sum over n-grams seen >1 time of
 #   (count-1) * len(ngram) / len(text). Gopher de-overlaps covered
 #   character ranges; this overlap-counting variant is monotone in
@@ -339,7 +340,19 @@ def repetition_stats(
             "_dup_line_chars"
         ),
         F.sum(F.when(is_l, F.col("cnt") * item_len)).alias("_line_chars"),
-        F.max(F.when(is_t, F.struct("cnt", "item"))).alias("_top"),
+        # max by (cnt, len) packed into ONE BIGINT so the aggregate
+        # stays HASH-based: max over a struct or string buffer is not
+        # fixed-width, so Spark falls back to SortAggregate — two
+        # per-partition sorts on a token-stream-sized intermediate.
+        # len < 2^31 (Spark strings are <2 GiB) and cnt <= n_tokens
+        # <= n_chars < 2^31, so cnt*2^31 + len never overflows and
+        # numeric order == (cnt, len) lexicographic order. A residual
+        # tie has equal cnt*len, so the output is tie-free.
+        F.max(
+            F.when(
+                is_t, F.col("cnt") * F.lit(2147483648) + item_len
+            )
+        ).alias("_top_enc"),
         F.sum(
             F.when(is_d & (F.col("cnt") > 1), (F.col("cnt") - 1) * item_len)
         ).alias("_dup_gram_chars"),
@@ -360,7 +373,10 @@ def repetition_stats(
             .cast("double")
         ).alias("dup_line_char_frac"),
         F.coalesce(
-            (F.col("_top.cnt") * F.length("_top.item")).cast("double")
+            (
+                F.shiftright(F.col("_top_enc"), 31)
+                * F.col("_top_enc").bitwiseAND(F.lit(2147483647))
+            ).cast("double")
             / safe_chars,
             F.lit(0.0),
         ).alias("top_ngram_char_frac"),

@@ -1447,7 +1447,7 @@ WITH rs_base AS (
     count(*) FILTER (WHERE kind='L') AS dl,
     sum((cnt-1)*length(item)) FILTER (WHERE kind='L') AS dlc,
     sum(cnt*length(item)) FILTER (WHERE kind='L') AS lc,
-    max({'cnt': cnt, 'item': item}) FILTER (WHERE kind='T') AS top,
+    max(cnt * 2147483648 + length(item)) FILTER (WHERE kind='T') AS top,
     sum((cnt-1)*length(item)) FILTER (WHERE kind='D' AND cnt>1) AS dgc
   FROM rs_cnts GROUP BY doc_id, chars
 ), rs_stats AS (
@@ -1456,7 +1456,7 @@ WITH rs_base AS (
          ELSE 0.0 END AS dup_line_frac,
     CAST(coalesce(dlc, 0) AS DOUBLE)/greatest(coalesce(lc, 0), 1)
       AS dup_line_char_frac,
-    coalesce(CAST(top.cnt*length(top.item) AS DOUBLE)/greatest(chars, 1), 0.0)
+    coalesce(CAST((top >> 31) * (top & 2147483647) AS DOUBLE)/greatest(chars, 1), 0.0)
       AS top_ngram_char_frac,
     CAST(coalesce(dgc, 0) AS DOUBLE)/greatest(chars, 1)
       AS dup_ngram_char_frac
