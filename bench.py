@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "politeness_bucketed",
     "dedup_clusters",
     "stratified_sample",
+    "mixture_sample",
+    "repetition_stats",
+    "repetition_filter",
+    "dedup_spans",
+    "dedup_span_removal",
     "pii_scrub",
     "topk_terms",
     "decontam_report",

@@ -10,7 +10,12 @@ from website_indexer_spark.functions.redact import (
     term_frequencies,
     topk_terms,
 )
-from website_indexer_spark.operators.sampling import hash_sample, stratified_quota
+from website_indexer_spark.operators.sampling import (
+    hash_sample,
+    mixture_sample,
+    mixture_thresholds,
+    stratified_quota,
+)
 
 
 def _md5(s):
@@ -273,3 +278,74 @@ def test_stratified_null_strata_healthy_prefilter(spark, monkeypatch):
     )
     assert got == want
     assert len([g for g in got if g[1] is None]) == 5
+
+
+# ------------------------------------------------------------------ #
+# temperature mixture sampling
+# ------------------------------------------------------------------ #
+
+def test_mixture_thresholds_integer_protocol():
+    import math
+
+    counts = {"big": 90_000, "small": 900, "tiny": 9}
+    target = 5_000
+    thr = mixture_thresholds(counts, target)
+    total_w = sum(math.isqrt(n) for n in counts.values())
+    for src, n in counts.items():
+        want = min(65536, (65536 * target * math.isqrt(n)) // (total_w * n))
+        assert thr[src] == want, src
+    # flattening: tiny sources draw a HIGHER keep rate than big ones
+    assert thr["tiny"] > thr["small"] > thr["big"]
+    # tiny source rate caps at 1 (keep everything)
+    assert thr["tiny"] == 65536
+    # NULL sources never arm
+    assert None not in mixture_thresholds({None: 10, "a": 10}, 5)
+
+
+def test_mixture_sample_matches_reference_draw(spark):
+    rows = (
+        [(i, "big") for i in range(1800)]
+        + [(i + 10_000, "small") for i in range(180)]
+        + [(i + 20_000, None) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "source", "doc_id", target_rows=500
+        ).collect()
+    }
+    thr = mixture_thresholds({"big": 1800, "small": 180}, 500)
+    want = {
+        i
+        for i, src in rows
+        if src is not None and int(_md5(i)[:4], 16) < thr[src]
+    }
+    assert got == want
+    # NULL-source rows never survive
+    assert all(i < 20_000 for i in got)
+    # the draw is stable under repartitioning
+    got2 = {
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(7), "source", "doc_id", target_rows=500
+        ).collect()
+    }
+    assert got2 == got
+    # sampled shares are flatter than raw shares: small's sampled
+    # share must exceed its 9% raw share
+    n_small = sum(1 for i in got if 10_000 <= i < 20_000)
+    assert n_small / len(got) > 0.2
+
+
+def test_mixture_sample_explicit_counts_and_empty(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    # explicit counts skip the eager job and drive the same protocol
+    out = mixture_sample(
+        df, "source", "doc_id", target_rows=10,
+        source_counts={"a": 1},
+    )
+    assert out.count() == 1  # rate caps at 1
+    assert mixture_sample(
+        df, "source", "doc_id", target_rows=10, source_counts={}
+    ).count() == 0

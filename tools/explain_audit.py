@@ -118,6 +118,14 @@ CHECKS = {
         ("global top-k via TakeOrdered, no full sort materialized",
          lambda p: "TakeOrderedAndProject" in p),
     ],
+    "mixture_sample": [
+        ("temperature mixture draw is a PURE NARROW literal-map "
+         "filter: zero exchanges, zero joins (thresholds are baked "
+         "literals; the one count job runs eagerly at build time)",
+         lambda p: "Exchange" not in p and "Join" not in p),
+        ("whole-stage codegen covers the hash draw",
+         lambda p: "codegen id" in p),
+    ],
     "repetition_stats": [
         ("single tagged-explode pass: exactly TWO hash exchanges "
          "(uniform (doc,kind,item) count, then the per-doc fold)",

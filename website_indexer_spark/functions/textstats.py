@@ -17,7 +17,7 @@ crawl kernel.
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -241,17 +241,23 @@ REP_TOP_N = 2   # n for the top-n-gram-char-fraction signal
 REP_DUP_N = 5   # n for the duplicated-n-gram-char-fraction signal
 
 
-def wrapped_lines(col: Column, wrap_tokens: int = 10) -> Column:
+def wrapped_lines(
+    col: Column, wrap_tokens: int = 10, toks: Optional[Column] = None
+) -> Column:
     """array<string> of lines: split on newlines when present,
     otherwise wrap every `wrap_tokens` whitespace tokens (for the
     single-line synthetic corpus). A doc with any newline uses its
     real lines verbatim (blank lines dropped, matching Gopher's
-    non-empty-line convention)."""
+    non-empty-line convention). Pass a pre-materialized token array
+    via `toks` to avoid re-tokenizing (tokenization is O(doc) and
+    Catalyst does NOT share subexpressions across higher-order
+    lambdas — see repetition_stats)."""
     real = F.filter(
         F.transform(F.split(col, r"\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
-    toks = tokens(col)
+    if toks is None:
+        toks = tokens(col)
     n = F.size(toks)
     wrapped = F.transform(
         F.sequence(
@@ -270,9 +276,13 @@ def wrapped_lines(col: Column, wrap_tokens: int = 10) -> Column:
     )
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """array<string> of space-joined word n-grams (empty for short docs)."""
-    toks = tokens(col)
+def word_ngrams(
+    col: Column, n: int, toks: Optional[Column] = None
+) -> Column:
+    """array<string> of space-joined word n-grams (empty for short
+    docs). `toks` as in wrapped_lines."""
+    if toks is None:
+        toks = tokens(col)
     cnt = F.size(toks) - F.lit(n - 1)
     return F.when(
         cnt > 0,
@@ -308,14 +318,28 @@ def repetition_stats(
         arr, lambda v: F.struct(F.lit(kind).alias("kind"), v.alias("item"))
     )
     text = F.col(text_col)
-    exploded = df.select(
+    # Tokenize ONCE in a lower projection: the explode argument below
+    # references the token array ~8 times across higher-order lambdas
+    # and Catalyst neither CSEs inside lambda bodies nor collapses a
+    # projection whose alias is referenced repeatedly (CollapseProject
+    # keeps non-cheap multi-use aliases) — without this the O(doc)
+    # split+filter re-runs per reference (measured 2.4x on the bench
+    # corpus).
+    toked = df.select(
         F.col(id_col).alias("_doc"),
         F.length(text).alias("_chars"),
+        text.alias("_text"),
+        tokens(text).alias("_toks"),
+    )
+    t, k = F.col("_text"), F.col("_toks")
+    exploded = toked.select(
+        "_doc",
+        "_chars",
         F.explode(
             F.concat(
-                tag("L", wrapped_lines(text, wrap_tokens)),
-                tag("T", word_ngrams(text, top_n)),
-                tag("D", word_ngrams(text, dup_n)),
+                tag("L", wrapped_lines(t, wrap_tokens, toks=k)),
+                tag("T", word_ngrams(t, top_n, toks=k)),
+                tag("D", word_ngrams(t, dup_n, toks=k)),
                 F.array(
                     F.struct(
                         F.lit("_").alias("kind"), F.lit("").alias("item")

@@ -470,10 +470,17 @@ def _shingle_positions(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(doc, pos, shingle) for every token position 0..n_tokens-L;
-    pos is the 0-based index of the shingle's first token."""
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    pos is the 0-based index of the shingle's first token. Tokenizes
+    in its OWN projection so the O(doc) split runs once, not once per
+    reference in the gram lambda (Catalyst keeps a multi-use
+    non-cheap alias as a real projection)."""
+    toked = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("_toks"),
     )
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -481,8 +488,8 @@ def _shingle_positions(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "shingle")
+    return toked.select(
+        "doc", F.posexplode(grams).alias("pos", "shingle")
     )
 
 
@@ -578,8 +585,13 @@ def remove_duplicate_spans(
     kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
         F.filter(F.col("_toks"), lambda t, i: ~covered(i))
     )
-    return with_spans.select(
+    # materialize the O(tokens x spans) cut once — it feeds both the
+    # join and the removed-count (multi-use alias stays a projection)
+    pruned = with_spans.select(
+        F.col(id_col), F.col("_toks"), kept.alias("_kept")
+    )
+    return pruned.select(
         F.col(id_col),
-        F.array_join(kept, " ").alias("clean_text"),
-        (F.size("_toks") - F.size(kept)).alias("n_tokens_removed"),
+        F.array_join("_kept", " ").alias("clean_text"),
+        (F.size("_toks") - F.size("_kept")).alias("n_tokens_removed"),
     )

@@ -206,4 +206,96 @@ def stratified_quota(
     return kept.where(keep_pred).unionByName(repair)
 
 
-__all__ = ["hash_sample", "stratified_quota"]
+# --------------------------------------------------------------------
+# Temperature mixture sampling — the data-mixing staple (Pile /
+# LLaMA-style source re-weighting): small high-quality sources are
+# UP-sampled relative to their raw share, huge crawl dumps DOWN-
+# sampled, by flattening the source distribution with a temperature
+# before drawing per-source Bernoulli rates.
+#
+# Exact-reproducibility protocol (so the draw is DuckDB-oracle-
+# checkable like every other sample here): the temperature is fixed
+# at tau = 0.5 and the reweighting uses INTEGER arithmetic end to
+# end —
+#     w_s   = isqrt(n_s)                    (integer sqrt = n_s^0.5)
+#     S     = sum_s w_s                     (exact integer)
+#     thr_s = min(65536, (65536 * target_rows * w_s) // (S * n_s))
+#     keep row <=> md5-prefix16(key) < thr_s
+# floor(ieee_sqrt(n)) == isqrt(n) for n < 2^52 (sqrt is correctly
+# rounded and the nearest half-ulp cannot cross an integer below
+# 2^26), so a SQL engine reproduces w_s exactly; everything after is
+# integer division. Fractional-temperature generalizations need
+# transcendental pow whose last-ulp differs across libms — a float
+# threshold can then flip by one — so they are deliberately out of
+# the gated protocol (pass precomputed `rates` for arbitrary mixes).
+#
+# Plan shape: one tiny eager groupBy(source).count() when counts are
+# not supplied (driver-sized source cardinality — same documented
+# assumption as stratified_quota), then a PURE NARROW literal-map
+# filter: zero shuffles, pushes to the scan, stable under
+# repartitioning/appends. NULL-source rows draw rate 0 (the oracle's
+# inner join on source drops them identically).
+# --------------------------------------------------------------------
+
+MIXTURE_HASH_SPACE = 65536
+
+
+def mixture_thresholds(
+    source_counts: dict, target_rows: int
+) -> dict:
+    """Per-source 16-bit keep thresholds under the integer tau=0.5
+    protocol (see block comment). Exact integer arithmetic; the SQL
+    mirror needs 65536 * target_rows * isqrt(max_n) < 2^63."""
+    import math
+
+    weights = {
+        s: math.isqrt(n) for s, n in source_counts.items() if s is not None
+    }
+    total_w = sum(weights.values())
+    if total_w == 0:
+        return {s: 0 for s in weights}
+    return {
+        s: min(
+            MIXTURE_HASH_SPACE,
+            (MIXTURE_HASH_SPACE * target_rows * w)
+            // (total_w * source_counts[s]),
+        )
+        for s, w in weights.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    target_rows: int = 10_000,
+    source_counts: Optional[dict] = None,
+) -> DataFrame:
+    """Deterministic temperature-0.5 mixture sample of ~target_rows
+    rows: per-source keep rates flatten the source distribution
+    (rate_s proportional to isqrt(n_s)/n_s, capped at 1), each row
+    kept iff its md5 hash falls under its source's threshold.
+
+    Eager when `source_counts` is None: runs one groupBy().count()
+    job at plan-build time (like stratified_quota's auto path).
+    Returns all original columns; NULL-source rows are dropped.
+    """
+    if source_counts is None:
+        source_counts = {
+            r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+        }
+    thr = mixture_thresholds(source_counts, target_rows)
+    if not thr:
+        return df.where(F.lit(False))
+    mapping = F.create_map(
+        *[x for s, t in thr.items() for x in (F.lit(s), F.lit(t))]
+    )
+    return df.where(
+        _hash16(F.col(key_col))
+        < F.coalesce(mapping[F.col(source_col)], F.lit(0))
+    )
+
+
+__all__ = ["hash_sample", "stratified_quota", "mixture_sample",
+           "mixture_thresholds"]
+

@@ -402,6 +402,21 @@ def q_stratified_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_mixture_sample(spark, sf):
+    """Temperature-0.5 mixture sample (Pile/LLaMA-style source
+    re-weighting) over the skewed lang distribution: per-lang keep
+    rates proportional to isqrt(n)/n under the integer-exact protocol
+    (operators/sampling.py:mixture_thresholds), drawn by the doc_id
+    md5 hash. Pure narrow literal-map filter after one tiny eager
+    count job."""
+    return sampling.mixture_sample(
+        _t(spark, sf, "documents"),
+        source_col="lang",
+        key_col="doc_id",
+        target_rows=250,
+    )
+
+
 def _fresh_backend(spark, prefix):
     import tempfile
 
@@ -823,6 +838,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "fingerprint_overlap": q_fingerprint_overlap,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
+    "mixture_sample": q_mixture_sample,
     "pii_scrub": q_pii_scrub,
     "topk_terms": q_topk_terms,
     "media_meta": q_media_meta,
@@ -1537,3 +1553,26 @@ SELECT t.doc_id,
 FROM sp_toks t LEFT JOIN sp_lists sp ON t.doc_id = sp.doc_id
 """
 )
+
+
+# mixture_sample: the oracle mirrors the integer tau=0.5 protocol —
+# floor(sqrt(n)) == isqrt(n) for n < 2^52, then integer division
+# only, then the md5-prefix16 draw compared against the 4-nibble hex
+# threshold (fixed-width lowercase hex compares like the integer).
+ORACLE_SQL["mixture_sample"] = """
+WITH mx_c AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+), mx_w AS (
+  SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM mx_c
+), mx_thr AS (
+  SELECT lang,
+         CAST(least(65536, (65536 * 250 * w) // ((SELECT sum(w) FROM mx_w) * n))
+              AS BIGINT) AS thr
+  FROM mx_w
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN mx_thr t ON d.lang = t.lang
+WHERE t.thr >= 65536
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', t.thr)
+"""
