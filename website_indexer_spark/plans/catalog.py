@@ -576,8 +576,10 @@ def q_pretrain_pipeline(spark, sf):
     engine operator, fused by Catalyst into ONE plan:
 
       corpus split (eval slice held out) → quality gate (token count)
-      → language gate (lang_id == en) → exact dedup (keep min doc per
-      md5) → decontaminate vs the eval slice (>=20 shared trigrams,
+      → language gate (lang_id == en) → Gopher repetition keep-rule
+      (dup-line / top-gram / dup-gram signals under the A1-style
+      thresholds) → exact dedup (keep min doc per md5) →
+      decontaminate vs the eval slice (>=20 shared trigrams,
       benchmark-side DF cap) → deterministic 50% hash sample.
 
     This is the flagship composition proof: the same operators the
@@ -594,6 +596,9 @@ def q_pretrain_pipeline(spark, sf):
         ts.whitespace_token_count(F.col("text")).alias("n_tokens"),
         ts.lang_id(F.col("text")).alias("pred_lang"),
     ).filter((F.col("n_tokens") >= 20) & (F.col("pred_lang") == "en"))
+    q = ts.repetition_filter(
+        q, id_col="doc_id", text_col="text", **REP_FILTER_THRESHOLDS
+    )
     keep = q.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -1368,8 +1373,10 @@ ORACLE_SQL: Dict[str, str] = {
 def _pretrain_pipeline_sql() -> str:
     """One DuckDB query mirroring the full composed pipeline
     (q_pretrain_pipeline): eval-slice holdout → token-count gate →
-    lang_id gate → md5 exact dedup → >=20-shared-trigram decontam
-    (benchmark DF cap 25) → 50% hash sample."""
+    lang_id gate → Gopher repetition keep-rule → md5 exact dedup →
+    >=20-shared-trigram decontam (benchmark DF cap 25) → 50% hash
+    sample."""
+    rep_cte = _repetition_cte("q0")
     return f"""
 WITH lang AS ({_lang_id_sql()}),
 base AS (
@@ -1379,8 +1386,14 @@ base AS (
          l.pred_lang
   FROM documents d JOIN lang l USING (doc_id)
   WHERE d.doc_id % 10 <> 0
-), q AS (
+), q0 AS (
   SELECT * FROM base WHERE n_tokens >= 20 AND pred_lang = 'en'
+), {rep_cte}, q AS (
+  SELECT q0.* FROM q0 JOIN rs_stats s USING (doc_id)
+  WHERE s.dup_line_frac <= {REP_FILTER_THRESHOLDS['max_dup_line_frac']}
+    AND s.dup_line_char_frac <= {REP_FILTER_THRESHOLDS['max_dup_line_char_frac']}
+    AND s.top_ngram_char_frac <= {REP_FILTER_THRESHOLDS['max_top_ngram_char_frac']}
+    AND s.dup_ngram_char_frac <= {REP_FILTER_THRESHOLDS['max_dup_ngram_char_frac']}
 ), keep AS (
   SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
 ), dd AS (
@@ -1415,8 +1428,6 @@ WHERE doc_id NOT IN (SELECT c_doc FROM bad)
 """
 
 
-ORACLE_SQL["pretrain_pipeline"] = _pretrain_pipeline_sql()
-
 
 # --------------------------------------------------------------------
 # Repetition stats / filter + span-level substring dedup oracles.
@@ -1426,11 +1437,14 @@ ORACLE_SQL["pretrain_pipeline"] = _pretrain_pipeline_sql()
 # merge. Doubles are single divisions of exact ints both sides.
 # --------------------------------------------------------------------
 
-_REPETITION_AGG_SQL = r"""
-WITH rs_base AS (
+def _repetition_cte(rel: str = "documents") -> str:
+    """The rs_* CTE chain (no leading WITH) computing per-doc
+    repetition signals over `rel` — composable into larger WITHs
+    (the pretrain pipeline gates its quality+lang slice)."""
+    return r"""rs_base AS (
   SELECT doc_id, length(text) AS chars, text,
          list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-  FROM documents
+  FROM """ + rel + r"""
 ), rs_derived AS (
   SELECT doc_id, chars,
     CASE WHEN contains(text, chr(10)) THEN
@@ -1477,18 +1491,19 @@ WITH rs_base AS (
     CAST(coalesce(dgc, 0) AS DOUBLE)/greatest(chars, 1)
       AS dup_ngram_char_frac
   FROM rs_agg
-)
-"""
+)"""
+
 
 ORACLE_SQL["repetition_stats"] = (
-    _REPETITION_AGG_SQL
-    + "SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,\n"
+    "WITH " + _repetition_cte()
+    + "\nSELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,\n"
     "       top_ngram_char_frac, dup_ngram_char_frac FROM rs_stats"
 )
 
 ORACLE_SQL["repetition_filter"] = (
-    _REPETITION_AGG_SQL
-    + f"""SELECT d.doc_id, d.source FROM documents d
+    "WITH " + _repetition_cte()
+    + f"""
+SELECT d.doc_id, d.source FROM documents d
 JOIN rs_stats s ON s.doc_id = d.doc_id
 WHERE s.dup_line_frac <= {REP_FILTER_THRESHOLDS['max_dup_line_frac']}
   AND s.dup_line_char_frac <= {REP_FILTER_THRESHOLDS['max_dup_line_char_frac']}
@@ -1496,6 +1511,8 @@ WHERE s.dup_line_frac <= {REP_FILTER_THRESHOLDS['max_dup_line_frac']}
   AND s.dup_ngram_char_frac <= {REP_FILTER_THRESHOLDS['max_dup_ngram_char_frac']}
 """
 )
+
+ORACLE_SQL["pretrain_pipeline"] = _pretrain_pipeline_sql()
 
 _SPAN_ISLANDS_SQL = r"""
 WITH sp_toks AS (
