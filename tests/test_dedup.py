@@ -234,3 +234,39 @@ def test_remove_duplicate_spans(spark):
     # pass-through docs are token-normalized, not byte-identical
     assert rows[3]["clean_text"] == SPAN_DOCS[3][1]
     assert rows[5]["clean_text"] == ""
+
+
+def test_duplicate_spans_seeded_adversarial_corpus(spark):
+    """150 seeded docs over a tiny vocabulary (so cross-doc shingle
+    collisions are common) vs the Python oracle in one job — both
+    the span sets and the removal output."""
+    import random
+
+    rng = random.Random(42424242)
+    vocab = ["w0", "w1", "w2", "w3"]
+    docs = [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab) for _ in range(rng.randrange(0, 25))
+            ),
+        )
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    exp = {d: sorted(s) for d, s in _span_oracle(docs).items() if s}
+    got = {}
+    for r in dedup.duplicate_spans(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_shingles"])
+        )
+    assert {d: sorted(s) for d, s in got.items()} == exp
+    rows = {
+        r["doc_id"]: r for r in dedup.remove_duplicate_spans(df).collect()
+    }
+    spans = _span_oracle(docs)
+    for d, t in docs:
+        toks = t.split()
+        cut = {i for s, e, _ in spans.get(d, []) for i in range(s, e)}
+        want = " ".join(tok for i, tok in enumerate(toks) if i not in cut)
+        assert rows[d]["clean_text"] == want, d

@@ -218,3 +218,37 @@ def test_repetition_filter_drops_spammy(spark):
     assert ids == {3}  # spam ham x20 trips top/dup-ngram thresholds
     # all original columns survive
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_repetition_stats_seeded_adversarial_corpus(spark):
+    """200 seeded nasty docs (newline/whitespace mixes, unicode,
+    heavy repeats, near-empty) vs the independent Python oracle in
+    ONE Spark job."""
+    import random
+
+    rng = random.Random(20260819)
+    vocab = ["a", "bb", "ccc", "éé", "中文", "x" * 30, "1"]
+    docs = []
+    for i in range(200):
+        n = rng.randrange(0, 40)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        sep_pool = [" ", "  ", "\n", " \n ", "\t"]
+        text = "".join(
+            t + rng.choice(sep_pool) for t in toks
+        )
+        if rng.random() < 0.2:
+            text = text * rng.randrange(2, 5)  # force repetition
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in ts.repetition_stats(df).collect()}
+    assert len(rows) == 200
+    for doc_id, text in docs:
+        exp = _rep_oracle(text)
+        got = rows[doc_id]
+        assert got["n_lines"] == exp[0], (doc_id, repr(text))
+        for col, want in zip(
+            ["dup_line_frac", "dup_line_char_frac",
+             "top_ngram_char_frac", "dup_ngram_char_frac"],
+            exp[1:],
+        ):
+            assert got[col] == pytest.approx(want), (doc_id, col, repr(text))

@@ -252,8 +252,13 @@ def wrapped_lines(
     via `toks` to avoid re-tokenizing (tokenization is O(doc) and
     Catalyst does NOT share subexpressions across higher-order
     lambdas — see repetition_stats)."""
+    # full-whitespace strip (trim() strips spaces only — a tab-padded
+    # line must compare equal to its space-padded twin)
     real = F.filter(
-        F.transform(F.split(col, r"\n"), lambda l: F.trim(l)),
+        F.transform(
+            F.split(col, r"\n"),
+            lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+        ),
         lambda l: l != "",
     )
     if toks is None:

@@ -1448,7 +1448,8 @@ def _repetition_cte(rel: str = "documents") -> str:
 ), rs_derived AS (
   SELECT doc_id, chars,
     CASE WHEN contains(text, chr(10)) THEN
-      list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      list_filter(list_transform(string_split(text, chr(10)),
+                  l -> regexp_replace(l, '^\s+|\s+$', '', 'g')),
                   l -> l <> '')
     WHEN len(t) > 0 THEN
       list_transform(generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1),
