@@ -228,8 +228,11 @@ def test_parse_budget_drops_pathological_page():
 
     with _pytest.raises(ParseTimeout):
         extract_page_fields(big, "h", time_budget_s=0.0)
-    # same page parses fine under the real budget…
-    assert extract_page_fields(big, "h").title == "t"
+    # same page parses fine with the budget armed but not hit (an
+    # explicit generous bound, not PARSE_BUDGET_S: this page takes
+    # ~2 s alone but has crossed 5 s under full-suite CPU contention,
+    # so asserting the default budget here is machine-speed flaky)…
+    assert extract_page_fields(big, "h", time_budget_s=60.0).title == "t"
     # …and the guard can be disabled outright
     assert extract_page_fields(big, "h", time_budget_s=None).title == "t"
 
