@@ -1,0 +1,198 @@
+"""Unit tests for the round-4 web-pipeline additions: token-budget
+shard packing (operators/packing.py), the corpus-self-trained unigram
+LM score (operators/lmscore.py), and host-level quality gating
+(operators/webquality.py). Their cross-engine value equality is pinned
+by the doc_pack / shard_manifest / lm_logloss / lm_head / host_stats /
+host_filter oracle gates; these tests pin the SEMANTIC invariants the
+hash alone can't name."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from website_indexer_spark.operators.lmscore import (
+    perplexity_head,
+    unigram_logloss,
+    unigram_model,
+)
+from website_indexer_spark.operators.packing import (
+    pack_documents,
+    shard_manifest,
+)
+from website_indexer_spark.operators.webquality import (
+    host_quality_filter,
+    host_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+# --------------------------------------------------------------------
+# packing
+# --------------------------------------------------------------------
+
+def test_pack_interval_binning_invariants(spark):
+    # 12 docs, 10 tokens each, ONE bucket => fully serial stream:
+    # offsets 0,10,..,110; budget 25 bins the offsets into intervals
+    # [0,25) [25,50) [50,75) [75,100) [100,125) ->
+    # shard doc counts 3,2,3,2,2 and masses 30,20,30,20,20
+    rows = [(i, " ".join(["w"] * 10), "s") for i in range(12)]
+    out = pack_documents(
+        _docs(spark, rows), budget_tokens=25, n_buckets=1
+    ).toPandas()
+    assert len(out) == 12
+    assert set(out["bucket"]) == {0}
+    # every doc's shard is floor(tokens_before/25) — a doc belongs to
+    # the shard where it STARTS
+    assert (out["shard_id"] == out["tokens_before"] // 25).all()
+    # contiguity: sorted by tokens_before, shard ids are nondecreasing
+    srt = out.sort_values("tokens_before")
+    assert srt["shard_id"].is_monotonic_increasing
+    m = shard_manifest(
+        pack_documents(_docs(spark, rows), budget_tokens=25, n_buckets=1)
+    ).toPandas()
+    assert sorted(m["shard_tokens"]) == [20, 20, 20, 30, 30]
+    assert m["n_docs"].sum() == 12
+    # boundary-straddle bound: every shard's mass is within one max
+    # document length of the budget
+    assert (abs(m["shard_tokens"] - 25) <= 10).all()
+
+
+def test_pack_deterministic_and_partitioned(spark):
+    rows = [(i, " ".join(["tok"] * (1 + i % 7)), "s") for i in range(200)]
+    df = _docs(spark, rows)
+    a = pack_documents(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = pack_documents(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # same input -> byte-same assignment
+    assert (a["bucket"] == a["doc_id"] % 8).all()
+    # every doc appears exactly once
+    assert a["doc_id"].is_unique and len(a) == 200
+
+
+def test_pack_text_not_in_exchange(spark):
+    """The window input must be the narrow projection — the text
+    column must not appear above the scan in the packing plan."""
+    rows = [(i, "a b c", "s") for i in range(10)]
+    plan = pack_documents(_docs(spark, rows))._jdf.queryExecution().toString()
+    # text appears in the Project over the scan (token count) but must
+    # not be a window/sort attribute
+    window_section = plan.split("Window")[1] if "Window" in plan else ""
+    assert "text" not in window_section.split("Project")[0]
+
+
+def test_pack_rejects_bad_budget(spark):
+    with pytest.raises(ValueError):
+        pack_documents(_docs(spark, [(1, "a", "s")]), budget_tokens=0)
+    with pytest.raises(ValueError):
+        pack_documents(_docs(spark, [(1, "a", "s")]), n_buckets=0)
+
+
+# --------------------------------------------------------------------
+# lmscore
+# --------------------------------------------------------------------
+
+def test_unigram_model_topk_deterministic(spark):
+    rows = [(1, "a a a b b c", "s"), (2, "b c d", "s")]
+    m = unigram_model(_docs(spark, rows), vocab_k=3).toPandas()
+    # counts: a=3 b=3 c=2 d=1 -> top3 by (cnt desc, term asc) = a,b,c
+    assert list(m.sort_values(["cnt", "term"], ascending=[False, True])["term"]) == [
+        "a", "b", "c"
+    ]
+
+
+def test_unigram_logloss_hand_computed(spark):
+    # one doc, vocab covers everything: N=4 (a a b c), K=3
+    # p(a)=(2+1)/(4+3+1)=3/8, p(b)=p(c)=2/8
+    rows = [(7, "a a b c", "s")]
+    out = unigram_logloss(_docs(spark, rows), vocab_k=10).toPandas()
+    assert len(out) == 1 and out.iloc[0]["n_tokens"] == 4
+    expected = -(2 * math.log(3 / 8) + 2 * math.log(2 / 8)) / 4
+    assert out.iloc[0]["logloss_milli"] == math.floor(1000 * expected)
+
+
+def test_unigram_logloss_unk_pooling(spark):
+    # vocab_k=1 keeps only 'a' (3 occurrences); b and c pool into UNK
+    # N=6, covered=3, oov=3, k_eff=1
+    rows = [(1, "a a a b b c", "s")]
+    out = unigram_logloss(_docs(spark, rows), vocab_k=1).toPandas()
+    p_a = (3 + 1) / (6 + 1 + 1)
+    p_unk = (3 + 1) / (6 + 1 + 1)
+    expected = -(3 * math.log(p_a) + 3 * math.log(p_unk)) / 6
+    assert out.iloc[0]["logloss_milli"] == math.floor(1000 * expected)
+
+
+def test_unigram_logloss_drops_empty_docs(spark):
+    rows = [(1, "a b", "s"), (2, "   ", "s"), (3, "", "s")]
+    out = unigram_logloss(_docs(spark, rows)).toPandas()
+    assert set(out["doc_id"]) == {1}
+
+
+def test_perplexity_head_is_semi_join(spark):
+    rows = [(i, ("common word " * 20) if i % 2 else "zzq xqv jjw", "s")
+            for i in range(20)]
+    df = _docs(spark, rows)
+    kept = perplexity_head(df, vocab_k=5, max_logloss_milli=3_000)
+    pdf = kept.toPandas()
+    # original columns come through untouched, no score columns
+    assert set(pdf.columns) == {"doc_id", "text", "source"}
+    # the repetitive 'typical' docs survive, the rare-token docs don't
+    assert set(pdf["doc_id"]) == {i for i in range(20) if i % 2}
+
+
+def test_lm_scoring_join_is_broadcast(spark):
+    rows = [(i, "a b c d", "s") for i in range(50)]
+    plan = unigram_logloss(_docs(spark, rows))._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------
+# webquality
+# --------------------------------------------------------------------
+
+def test_host_stats_counts(spark):
+    rows = [
+        (1, " ".join(["w"] * 100), "good.example"),
+        (2, " ".join(["w"] * 80), "good.example"),
+        (3, "tiny", "good.example"),
+        (4, "x", "thin.example"),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    hs = {r["host"]: r for r in host_stats(df).collect()}
+    g = hs["good.example"]
+    assert g["n_docs"] == 3 and g["sum_tokens"] == 181 and g["n_short"] == 1
+    assert g["mean_tokens"] == pytest.approx(181 / 3)
+    assert hs["thin.example"]["n_short"] == 1
+    assert None in hs  # NULL host is its own group, not dropped
+
+
+def test_host_filter_gates_and_null_safety(spark):
+    rows = (
+        # host A: 4 long docs -> passes
+        [(i, " ".join(["w"] * 200), "a.example") for i in range(4)]
+        # host B: 4 short docs -> fails on mean + short_frac
+        + [(10 + i, "a b", "b.example") for i in range(4)]
+        # host C: 1 long doc -> fails min_docs
+        + [(20, " ".join(["w"] * 300), "c.example")]
+        # NULL host rows never pass, and must not poison the semi-join
+        + [(30, " ".join(["w"] * 300), None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = host_quality_filter(df).select("doc_id").toPandas()
+    assert set(kept["doc_id"]) == {0, 1, 2, 3}
+
+
+def test_host_filter_no_cartesian(spark):
+    rows = [(i, "w " * 10, f"h{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = host_quality_filter(df)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()

@@ -30,9 +30,12 @@ from website_indexer_spark.operators import (
     clusters,
     decontam,
     dedup,
+    lmscore,
     multimodal,
+    packing,
     sampling,
     similarity,
+    webquality,
 )
 from website_indexer_spark.operators.dims import dim_upsert_delta
 from website_indexer_spark.plans import queries as vq
@@ -811,6 +814,55 @@ def q_warc_ingest(spark, sf):
     )
 
 
+def q_doc_pack(spark, sf):
+    """Token-budget training-shard packing (operators/packing.py):
+    bucket-parallel greedy packing — md5-ordered cumulative token sum
+    per bucket, shard = floor(tokens_before / budget). One narrow
+    exchange on bucket; the text column never shuffles."""
+    return packing.pack_documents(_t(spark, sf, "documents"))
+
+
+def q_shard_manifest(spark, sf):
+    """The packing's per-(bucket, shard) roll-up: doc count + token
+    mass — the shard writer's work list."""
+    return packing.shard_manifest(
+        packing.pack_documents(_t(spark, sf, "documents"))
+    )
+
+
+def q_lm_logloss(spark, sf):
+    """CCNet-style corpus-self-trained capped-vocab unigram LM score
+    (operators/lmscore.py): top-K vocabulary via TakeOrdered →
+    broadcast scoring join → per-doc mean -ln p in integer
+    milli-nats (the hash-stable float protocol)."""
+    return lmscore.unigram_logloss(_t(spark, sf, "documents"))
+
+
+def q_lm_head(spark, sf):
+    """The CCNet 'head' cut over the LM score: survivor rows via a
+    left-semi join (threshold chosen to split the testdata corpus
+    nontrivially at every SF)."""
+    return lmscore.perplexity_head(
+        _t(spark, sf, "documents"), max_logloss_milli=3400
+    ).select("doc_id", "source", "lang")
+
+
+def q_host_stats(spark, sf):
+    """Host-level aggregate quality signals (operators/webquality.py):
+    one partial-aggregated exchange keyed by host; means emitted as a
+    single bigint/bigint IEEE division so the doubles hash-match."""
+    return webquality.host_stats(_t(spark, sf, "documents"))
+
+
+def q_host_filter(spark, sf):
+    """RefinedWeb-style domain curation: rows whose HOST passes the
+    aggregate gate (enough docs, long-enough mean, low short-doc
+    fraction) — a host-keyed agg + left-semi join back."""
+    return webquality.host_quality_filter(
+        _t(spark, sf, "documents")
+    ).select("doc_id", "source")
+
+
 SPARK_QUERIES: Dict[str, SparkQuery] = {
     "search_empty": q_search_empty,
     "search_text": q_search_text,
@@ -870,6 +922,12 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "repetition_filter": q_repetition_filter,
     "dedup_spans": q_dedup_spans,
     "dedup_span_removal": q_dedup_span_removal,
+    "doc_pack": q_doc_pack,
+    "shard_manifest": q_shard_manifest,
+    "lm_logloss": q_lm_logloss,
+    "lm_head": q_lm_head,
+    "host_stats": q_host_stats,
+    "host_filter": q_host_filter,
 }
 
 
@@ -1594,3 +1652,112 @@ FROM documents d JOIN mx_thr t ON d.lang = t.lang
 WHERE t.thr >= 65536
    OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', t.thr)
 """
+
+
+# doc_pack / shard_manifest: exact window mirror — same md5 order key,
+# same greedy floor(tokens_before / budget) cut. string_split_regex
+# matches the Spark F.split(..., '\s+') token protocol exactly (the
+# single-space split used by older oracles only coincides on this
+# testdata; the regex form is the real mirror).
+_PACK_SQL = r"""
+WITH pk_slim AS (
+  SELECT doc_id,
+         CAST(doc_id % {buckets} AS INT) AS bucket,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS _pk
+  FROM documents
+), pk_cum AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY _pk, doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tokens_before
+  FROM pk_slim
+)
+SELECT doc_id, bucket,
+       CAST(floor(CAST(tokens_before AS DOUBLE) / {budget}) AS INT) AS shard_id,
+       n_tokens, tokens_before
+FROM pk_cum
+"""
+
+ORACLE_SQL["doc_pack"] = _PACK_SQL.format(
+    buckets=packing.DEFAULT_BUCKETS, budget=packing.DEFAULT_BUDGET
+)
+ORACLE_SQL["shard_manifest"] = (
+    "SELECT bucket, shard_id, count(*) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS shard_tokens FROM ("
+    + ORACLE_SQL["doc_pack"]
+    + ") GROUP BY bucket, shard_id"
+)
+
+# lm_logloss / lm_head: the capped-vocab unigram LM. The floor-milli
+# protocol tolerates engine ln/summation-order ulps; the vocabulary's
+# (cnt DESC, term ASC) order is a deterministic total order so the
+# LIMIT never tie-breaks differently across engines.
+_LM_SQL = r"""
+WITH lm_tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), lm_counts AS (
+  SELECT term, count(*) AS cnt FROM lm_tok GROUP BY term
+), lm_vocab AS (
+  SELECT term, cnt FROM lm_counts ORDER BY cnt DESC, term ASC LIMIT {k}
+), lm_scal AS (
+  SELECT (SELECT count(*) FROM lm_tok) AS n_total,
+         (SELECT count(*) FROM lm_vocab) AS k_eff,
+         (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM lm_vocab) AS covered
+), lm_scored AS (
+  SELECT t.doc_id,
+         ln(CAST(coalesce(v.cnt, s.n_total - s.covered) + 1 AS DOUBLE)
+            / CAST(s.n_total + s.k_eff + 1 AS DOUBLE)) AS lnp
+  FROM lm_tok t LEFT JOIN lm_vocab v USING (term) CROSS JOIN lm_scal s
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(floor(-1000.0 * avg(lnp)) AS BIGINT) AS logloss_milli
+FROM lm_scored GROUP BY doc_id
+"""
+
+ORACLE_SQL["lm_logloss"] = _LM_SQL.format(k=lmscore.DEFAULT_VOCAB_K)
+ORACLE_SQL["lm_head"] = (
+    "SELECT doc_id, source, lang FROM documents WHERE doc_id IN ("
+    "SELECT doc_id FROM (" + ORACLE_SQL["lm_logloss"] + ") "
+    "WHERE logloss_milli <= 3400)"
+)
+
+# host_stats / host_filter: one groupBy(host); the doubles are a
+# single bigint/bigint IEEE division in both engines (never an
+# incremental average), so they hash bit-identically.
+_HOST_STATS_SQL = r"""
+WITH hq_tok AS (
+  SELECT source AS host,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents
+), hq_agg AS (
+  SELECT host, count(*) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS sum_tokens,
+         CAST(sum(CASE WHEN nt < {short} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_short
+  FROM hq_tok GROUP BY host
+)
+SELECT host, n_docs, sum_tokens, n_short,
+       CAST(sum_tokens AS DOUBLE) / n_docs AS mean_tokens,
+       CAST(n_short AS DOUBLE) / n_docs AS short_frac
+FROM hq_agg
+"""
+
+ORACLE_SQL["host_stats"] = _HOST_STATS_SQL.format(
+    short=webquality.DEFAULT_SHORT_TOKENS
+)
+ORACLE_SQL["host_filter"] = (
+    "SELECT doc_id, source FROM documents WHERE source IN ("
+    "SELECT host FROM (" + ORACLE_SQL["host_stats"] + ") "
+    "WHERE host IS NOT NULL AND n_docs >= {min_docs} "
+    "AND mean_tokens >= {min_mean} AND short_frac <= {max_short})"
+).format(
+    min_docs=webquality.DEFAULT_MIN_DOCS,
+    min_mean=webquality.DEFAULT_MIN_MEAN_TOKENS,
+    max_short=webquality.DEFAULT_MAX_SHORT_FRAC,
+)
