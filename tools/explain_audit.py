@@ -219,6 +219,75 @@ CHECKS = {
          lambda p: "binaryFile" in p or "BatchScan" in p
          or "FileScan" in p),
     ],
+    "doc_pack": [
+        ("exactly ONE hash exchange — the bucket route; packing is "
+         "bucket-parallel, never a global sort",
+         lambda p: p.count("Arguments: hashpartitioning") == 1
+         and "rangepartitioning" not in p),
+        ("the text column is dropped BEFORE the exchange: no "
+         "sort/window/exchange operator carries text (only the "
+         "scan-side token-count projection reads it)",
+         lambda p: all(
+             "text#" not in ln
+             for ln in p.splitlines()
+             if ln.startswith("Arguments: [")
+         )),
+        ("single corpus scan feeds the whole assignment",
+         lambda p: p.count("Location:") == 1),
+    ],
+    "shard_manifest": [
+        ("the roll-up reuses the packing window's bucket "
+         "partitioning — hashpartitioning(bucket) satisfies the "
+         "(bucket, shard) clustering, so STILL exactly one exchange",
+         lambda p: p.count("Arguments: hashpartitioning") == 1),
+        ("map-side partial aggregation",
+         lambda p: "partial" in p.lower()),
+    ],
+    "lm_logloss": [
+        ("scoring plan reads the corpus parquet exactly ONCE — the "
+         "train side (term counts) is a localCheckpointed term-"
+         "cardinality frame, so vocab AND model scalars reuse it "
+         "instead of re-scanning",
+         lambda p: p.count("Location:") == 1
+         and "Scan ExistingRDD" in p),
+        ("vocabulary is TakeOrdered (K rows), never a global sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("the scoring join is a BROADCAST hash join against the "
+         "K-row model",
+         lambda p: "BroadcastHashJoin" in p),
+        ("scalar attach is a 1-row broadcast cross (BNLJ BuildRight) "
+         "— no true cartesian, no shuffle join anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "SortMergeJoin" not in p and "ShuffledHashJoin" not in p),
+        ("per-doc fold stays hash-aggregated",
+         lambda p: "SortAggregate" not in p),
+    ],
+    "lm_head": [
+        ("the head cut re-enters the corpus as a LEFT SEMI join",
+         lambda p: "LeftSemi" in p),
+        ("no cartesian / nested-loop on corpus-sized inputs",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "host_stats": [
+        ("one partial-aggregated hash exchange keyed by host — "
+         "mega-host skew lands in map-side combine",
+         lambda p: p.count("Arguments: hashpartitioning") == 1
+         and "partial" in p.lower()),
+        ("scan prunes to (source, text) only",
+         lambda p: "ReadSchema: struct<text:string,source:string>" in p
+         or "ReadSchema: struct<source:string,text:string>" in p),
+    ],
+    "host_filter": [
+        ("gate-back is a LEFT SEMI equi join on host (broadcast under "
+         "AQE for any realistic surviving-host list)",
+         lambda p: "LeftSemi" in p and "BroadcastHashJoin" in p),
+        ("host IS NOT NULL pushed into both scans (null hosts can "
+         "never pass, so the scan drops them)",
+         lambda p: "IsNotNull(source)" in p),
+        ("no cartesian anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
 }
 
 

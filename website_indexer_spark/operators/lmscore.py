@@ -57,6 +57,18 @@ def _terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _term_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        _terms(df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _top_vocab(counts: DataFrame, vocab_k: int) -> DataFrame:
+    return counts.orderBy(F.desc("cnt"), F.asc("term")).limit(vocab_k)
+
+
 def unigram_model(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -66,12 +78,7 @@ def unigram_model(
     """(term, cnt) for the top-``vocab_k`` terms by global count
     (count desc, term asc — fully deterministic). TakeOrdered, not a
     global sort: K rows reach the driver regardless of corpus size."""
-    counts = (
-        _terms(df, id_col, text_col)
-        .groupBy("term")
-        .agg(F.count("*").alias("cnt"))
-    )
-    return counts.orderBy(F.desc("cnt"), F.asc("term")).limit(vocab_k)
+    return _top_vocab(_term_counts(df, id_col, text_col), vocab_k)
 
 
 def unigram_logloss(
@@ -84,14 +91,27 @@ def unigram_logloss(
     log-likelihood under the corpus-self-trained capped-vocab unigram
     LM, in integer milli-nats. Documents with zero tokens are dropped
     (a mean over nothing is undefined; they'd be killed by any length
-    gate long before an LM gate anyway)."""
+    gate long before an LM gate anyway).
+
+    The train side materializes ONE term-counts frame (term-
+    cardinality-sized, orders below the corpus) via a lazy
+    localCheckpoint, and the vocabulary AND all three model scalars
+    (N, |V|, covered mass) derive from it — so the corpus itself is
+    scanned exactly twice end-to-end (once to count, once to score),
+    the inherent minimum for train-then-score. Without the
+    checkpoint, Catalyst re-derives each scalar's lineage from the
+    raw scan and the plan reads the corpus four times."""
     toks = _terms(df, id_col, text_col)
-    vocab = unigram_model(df, id_col, text_col, vocab_k)
+    counts = _term_counts(df, id_col, text_col).localCheckpoint(eager=False)
+    vocab = _top_vocab(counts, vocab_k)
 
     # corpus scalars as a broadcast 1-row frame (no driver collect):
-    # N = total tokens, k_eff = |vocab| (< vocab_k on tiny corpora),
+    # N = total tokens (sum over ALL term counts, not just the vocab),
+    # k_eff = |vocab| (< vocab_k on tiny corpora),
     # oov = N - tokens covered by the vocab
-    totals = toks.agg(F.count("*").alias("n_total")).crossJoin(
+    totals = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_total")
+    ).crossJoin(
         F.broadcast(
             vocab.agg(
                 F.count("*").alias("k_eff"),
