@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "repetition_filter",
     "dedup_spans",
     "dedup_span_removal",
+    "doc_pack",
+    "lm_logloss",
+    "host_filter",
     "pii_scrub",
     "topk_terms",
     "decontam_report",
