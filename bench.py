@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "doc_pack",
     "lm_logloss",
     "host_filter",
+    "incremental_dedup",
     "pii_scrub",
     "topk_terms",
     "decontam_report",

@@ -196,3 +196,41 @@ def test_host_filter_no_cartesian(spark):
     plan = host_quality_filter(df)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+# --------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+# --------------------------------------------------------------------
+
+def test_dedup_against_snapshot_semantics(spark):
+    from website_indexer_spark.operators.dedup import dedup_against_snapshot
+
+    snapshot = _docs(spark, [
+        (1, "already published", "old"),
+        (2, "also published", "old"),
+    ])
+    increment = _docs(spark, [
+        (10, "already published", "new"),   # dies: in snapshot
+        (11, "brand new text", "new"),      # survives
+        (12, "brand new text", "new"),      # dies: in-increment dup of 11
+        (13, "another new one", "new"),     # survives
+    ])
+    out = dedup_against_snapshot(increment, snapshot).toPandas()
+    assert set(out["doc_id"]) == {11, 13}
+    # idempotent: running the survivors against snapshot+survivors
+    # yields nothing new to drop
+    survivors = increment.where(increment.doc_id.isin(11, 13))
+    again = dedup_against_snapshot(
+        survivors, snapshot.unionByName(survivors)
+    ).toPandas()
+    assert len(again) == 0
+
+
+def test_dedup_against_snapshot_plan(spark):
+    from website_indexer_spark.operators.dedup import dedup_against_snapshot
+
+    inc = _docs(spark, [(i, f"t{i % 5}", "s") for i in range(40)])
+    snap = _docs(spark, [(100 + i, f"t{i}", "s") for i in range(3)])
+    plan = dedup_against_snapshot(inc, snap)._jdf.queryExecution().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

@@ -268,6 +268,24 @@ CHECKS = {
         ("no cartesian / nested-loop on corpus-sized inputs",
          lambda p: "CartesianProduct" not in p),
     ],
+    "incremental_dedup": [
+        ("snapshot probe is a LEFT ANTI equi join on the content "
+         "hash (uniform key — skew-free by construction)",
+         lambda p: "LeftAnti" in p),
+        ("snapshot side never carries text above the scan: the hash "
+         "projection is scan-side, and no join/exchange operator "
+         "lists a text attribute",
+         lambda p: all(
+             "text#" not in ln
+             for ln in p.splitlines()
+             if ln.startswith("Arguments: hashpartitioning")
+         )),
+        ("in-increment dedup partial-aggregates before its exchange",
+         lambda p: "partial" in p.lower()),
+        ("no cartesian anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "host_stats": [
         ("one partial-aggregated hash exchange keyed by host — "
          "mega-host skew lands in map-side combine",

@@ -1,0 +1,114 @@
+"""Two-level scaling evidence for the round-4 web-pipeline operators
+(doc_pack, lm_logloss, host_filter) on a fat corpus.
+
+At sf0.1 (5k docs) these finish in fixed-cost time, so — like the
+token-stream operators (BENCH/BASELINE.md 'Round-4 late additions') —
+they are measured on a 20x-replicated 100k-doc corpus: documents x
+range(REPL), doc_id re-keyed to stay unique, written once to /tmp so
+both parallelism levels read identical parquet. Methodology matches
+the round's record: same session, warm run then min-of-2, busy-worker
+probes bracketing the window.
+
+Usage: python tools/scaling_newops.py [low high] [repl]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from scaling_run import cpu_ceiling  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_fat_corpus(repl: int) -> str:
+    out = f"/tmp/wi_fat_docs_x{repl}"
+    if os.path.exists(out + "/_SUCCESS"):
+        return out
+    from pyspark.sql import functions as F
+
+    from website_indexer_spark.sources.tables import build_spark
+
+    spark = build_spark(app_name="fat-gen", master="local[8]",
+                        shuffle_partitions=8)
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    fat = (
+        docs.crossJoin(F.broadcast(spark.range(repl).select(F.col("id").alias("_r"))))
+        .withColumn("doc_id", F.col("doc_id") * repl + F.col("_r"))
+        .drop("_r")
+    )
+    fat.repartition(8).write.mode("overwrite").parquet(out)
+    spark.stop()
+    return out
+
+
+def run_level(cpus: int, fat_dir: str) -> dict:
+    """One Spark session at local[cpus]; returns {op: best_seconds}."""
+    from website_indexer_spark.operators.lmscore import unigram_logloss
+    from website_indexer_spark.operators.packing import pack_documents
+    from website_indexer_spark.operators.webquality import host_quality_filter
+    from website_indexer_spark.sources.tables import build_spark
+
+    # 32 shuffle partitions at BOTH levels (symmetric config, same as
+    # the shipped bench default): with only cpus-matched partitions a
+    # 4-core stage is exactly 2 waves and any straggler idles cores —
+    # a task-quantization artifact, not a scaling property
+    spark = build_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
+                        shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(fat_dir)
+    ops = {
+        # n_buckets=32, not the sandbox-default 8: buckets are the
+        # packing's unit of parallelism and a deployment sizes them
+        # far above core count (packing.py docstring) — at 8 buckets
+        # on 4 cores the window stage is 2 task waves and the
+        # measurement reads task quantization, not the operator
+        "doc_pack": lambda: pack_documents(docs, n_buckets=32),
+        "lm_logloss": lambda: unigram_logloss(docs),
+        "host_filter": lambda: host_quality_filter(docs),
+    }
+    best: dict = {}
+    for name, mk in ops.items():
+        # noop write, NOT count(): count() lets ColumnPruning drop the
+        # window/token-count expressions entirely (doc_pack collapses
+        # to a bare scan), so every output column must be consumed
+        mk().write.format("noop").mode("overwrite").save()  # warm
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            mk().write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        best[name] = round(min(times), 2)
+    spark.stop()
+    return best
+
+
+def main() -> None:
+    low = int(sys.argv[1]) if len(sys.argv) > 2 else 1
+    high = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    repl = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+
+    fat = build_fat_corpus(repl)
+    print(f"corpus: {fat}")
+    p0 = cpu_ceiling(low, high)
+    print(f"probe(before) {low}->{high}: {p0:.2f}x", flush=True)
+    lo = run_level(low, fat)
+    hi = run_level(high, fat)
+    p1 = cpu_ceiling(low, high)
+    print(f"probe(after)  {low}->{high}: {p1:.2f}x", flush=True)
+    ceiling = min(max(p0, p1), high / low)
+    print(f"| query | local[{low}] | local[{high}] | speedup | nominal eff "
+          f"| probe-normalized |")
+    print("|---|---|---|---|---|---|")
+    for name in lo:
+        sp = lo[name] / hi[name]
+        print(f"| {name} | {lo[name]} | {hi[name]} | {sp:.2f}x "
+              f"| {sp / (high / low):.2f} | {sp / ceiling:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

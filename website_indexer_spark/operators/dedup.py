@@ -595,3 +595,47 @@ def remove_duplicate_spans(
         F.array_join("_kept", " ").alias("clean_text"),
         (F.size("_toks") - F.size("_kept")).alias("n_tokens_removed"),
     )
+
+
+# --------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup
+# --------------------------------------------------------------------
+
+def dedup_against_snapshot(
+    increment: DataFrame,
+    snapshot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-dump dedup: rows of ``increment`` that survive against an
+    already-published corpus ``snapshot`` — the per-crawl shape of a
+    rolling Common-Crawl-style pipeline, where each new dump dedupes
+    first within itself, then against everything shipped before.
+
+    Two stages, both uniform-key equi-joins on md5(text):
+
+    1. in-increment exact dedup (keep the min-id row per distinct
+       text — otherwise two copies NEW in this dump both survive);
+    2. LEFT ANTI join against the snapshot's distinct content hashes.
+
+    Scale shape: the snapshot side projects to the 16-byte hash at the
+    scan (never carries text), both sides partial-aggregate before the
+    exchange, and the key is a cryptographic hash so the join is
+    skew-free by construction. At 10^10-document scale the snapshot's
+    hash set is exactly the seen-set problem, so a deployment stores
+    it hash-bucketed like the crawl's seen table
+    (sources/tables.py bucket layout) and the anti-join goes
+    storage-partitioned — same machinery, content hash instead of URL
+    hash. This operator is the lazy/relational form; the bucketed
+    form is `operators/frontier.py::anti_join_seen_bucketed` with
+    key_col=md5(text).
+    """
+    fresh = exact_dedup(increment, id_col, text_col)
+    seen_hashes = snapshot.select(
+        F.md5(F.col(text_col)).alias("text_hash")
+    ).dropDuplicates(["text_hash"])
+    return fresh.join(
+        seen_hashes,
+        F.md5(F.col(text_col)) == F.col("text_hash"),
+        "left_anti",
+    )

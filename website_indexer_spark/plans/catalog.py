@@ -862,6 +862,19 @@ def q_lm_head(spark, sf):
     ).select("doc_id", "source", "lang")
 
 
+def q_incremental_dedup(spark, sf):
+    """Cross-dump dedup (operators/dedup.py::dedup_against_snapshot):
+    docs with doc_id % 3 == 0 play the published snapshot, the rest
+    are the new dump — in-increment exact dedup, then a left-anti
+    equi-join on md5(text) against the snapshot's hash set."""
+    docs = _t(spark, sf, "documents")
+    snapshot = docs.where(F.col("doc_id") % 3 == 0)
+    increment = docs.where(F.col("doc_id") % 3 != 0)
+    return dedup.dedup_against_snapshot(increment, snapshot).select(
+        "doc_id", "source"
+    )
+
+
 def q_host_stats(spark, sf):
     """Host-level aggregate quality signals (operators/webquality.py):
     one partial-aggregated exchange keyed by host; means emitted as a
@@ -941,6 +954,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "shard_manifest": q_shard_manifest,
     "lm_logloss": q_lm_logloss,
     "lm_head": q_lm_head,
+    "incremental_dedup": q_incremental_dedup,
     "host_stats": q_host_stats,
     "host_filter": q_host_filter,
 }
@@ -1776,3 +1790,20 @@ ORACLE_SQL["host_filter"] = (
     min_mean=webquality.DEFAULT_MIN_MEAN_TOKENS,
     max_short=webquality.DEFAULT_MAX_SHORT_FRAC,
 )
+
+
+# incremental_dedup: in-increment min-id winners whose text hash is
+# absent from the snapshot's content-hash set.
+ORACLE_SQL["incremental_dedup"] = """
+WITH inc AS (
+  SELECT * FROM documents WHERE doc_id % 3 <> 0
+), snap_h AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+), fresh AS (
+  SELECT * FROM inc WHERE doc_id IN (
+    SELECT min(doc_id) FROM inc GROUP BY md5(text))
+)
+SELECT doc_id, source FROM fresh
+WHERE md5(text) IS NULL
+   OR md5(text) NOT IN (SELECT h FROM snap_h WHERE h IS NOT NULL)
+"""
