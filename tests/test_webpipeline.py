@@ -234,3 +234,46 @@ def test_dedup_against_snapshot_plan(spark):
     plan = dedup_against_snapshot(inc, snap)._jdf.queryExecution().toString()
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_against_snapshot_bucketed_parity(spark, tmp_path):
+    """The storage-partitioned form returns exactly the relational
+    form's survivors, and its plan never scans the snapshot."""
+    from website_indexer_spark.operators.dedup import (
+        dedup_against_snapshot,
+        dedup_against_snapshot_bucketed,
+        snapshot_hash_bucket_files,
+        write_snapshot_hash_layout,
+    )
+
+    snapshot = _docs(spark, [
+        (100 + i, f"published {i}", "old") for i in range(20)
+    ])
+    increment = _docs(
+        spark,
+        # 10 dups of published texts, 10 fresh, plus an in-increment
+        # duplicate pair of one fresh text
+        [(i, f"published {i}", "new") for i in range(10)]
+        + [(50 + i, f"fresh {i}", "new") for i in range(10)]
+        + [(99, "fresh 3", "new")],
+    )
+
+    layout = str(tmp_path / "snap_hashes")
+    write_snapshot_hash_layout(snapshot, layout, n_buckets=4)
+    files = snapshot_hash_bucket_files(layout)
+    assert set(files) <= set(range(4)) and sum(
+        len(v) for v in files.values()
+    ) >= 1
+
+    bucketed = dedup_against_snapshot_bucketed(
+        increment, files, n_buckets=4
+    )
+    exact = dedup_against_snapshot(increment, snapshot)
+    got = sorted(r.doc_id for r in bucketed.collect())
+    want = sorted(r.doc_id for r in exact.collect())
+    assert got == want == sorted(50 + i for i in range(10))
+
+    # storage-partitioned: the snapshot table appears nowhere in the
+    # Spark plan — no second parquet scan, no join against it
+    plan = bucketed._jdf.queryExecution().toString()
+    assert "snap_hashes" not in plan

@@ -48,6 +48,9 @@ def build_fat_corpus(repl: int) -> str:
 
 def run_level(cpus: int, fat_dir: str) -> dict:
     """One Spark session at local[cpus]; returns {op: best_seconds}."""
+    from pyspark.sql import functions as F
+
+    from website_indexer_spark.operators.dedup import dedup_against_snapshot
     from website_indexer_spark.operators.lmscore import unigram_logloss
     from website_indexer_spark.operators.packing import pack_documents
     from website_indexer_spark.operators.webquality import host_quality_filter
@@ -70,6 +73,11 @@ def run_level(cpus: int, fat_dir: str) -> dict:
         "doc_pack": lambda: pack_documents(docs, n_buckets=32),
         "lm_logloss": lambda: unigram_logloss(docs),
         "host_filter": lambda: host_quality_filter(docs),
+        # same %3 split as the driver gate: 1/3 snapshot, 2/3 increment
+        "incremental_dedup": lambda: dedup_against_snapshot(
+            docs.where(F.col("doc_id") % 3 != 0),
+            docs.where(F.col("doc_id") % 3 == 0),
+        ),
     }
     best: dict = {}
     for name, mk in ops.items():

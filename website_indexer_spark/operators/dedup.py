@@ -639,3 +639,85 @@ def dedup_against_snapshot(
         F.md5(F.col(text_col)) == F.col("text_hash"),
         "left_anti",
     )
+
+
+def write_snapshot_hash_layout(
+    snapshot: DataFrame,
+    path: str,
+    n_buckets: int,
+    text_col: str = "text",
+) -> None:
+    """Materialize a snapshot's content-hash set in the crawl seen
+    table's physical layout: ``bucket=B`` partition dirs holding the
+    distinct ``xxhash64(text)`` keys whose ``pmod(hash, n_buckets)``
+    is B — one task per bucket, one sorted-readable file per bucket.
+    This is what a rolling-dump deployment maintains between dumps
+    (Iceberg: ``bucket(N, content_hash)`` partition transform); the
+    increment then probes it storage-partitioned via
+    ``dedup_against_snapshot_bucketed`` without the snapshot ever
+    entering a Spark plan."""
+    keys = (
+        snapshot.select(F.xxhash64(F.col(text_col)).alias("content_hash"))
+        .dropDuplicates(["content_hash"])
+        .withColumn(
+            "bucket", F.pmod(F.col("content_hash"), F.lit(n_buckets))
+        )
+        .repartition(n_buckets, F.col("bucket"))
+    )
+    keys.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def snapshot_hash_bucket_files(path: str) -> dict:
+    """bucket id -> committed parquet files of a
+    ``write_snapshot_hash_layout`` directory (the ``bucketed_files``
+    analogue for the content-hash snapshot)."""
+    import os
+
+    out: dict = {}
+    if not os.path.isdir(path):
+        return out
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("bucket="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        d = os.path.join(path, entry)
+        out[b] = [
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+    return out
+
+
+def dedup_against_snapshot_bucketed(
+    increment: DataFrame,
+    bucket_files: dict,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Above-threshold form of ``dedup_against_snapshot``: the
+    published snapshot's content-hash set lives in the hash-bucketed
+    layout ``write_snapshot_hash_layout`` writes, and the increment
+    probes it with the crawl's storage-partitioned seen machinery
+    (``frontier.exclude_keys_bucketed`` — probe-side-only exchange,
+    executor-side point reads, snapshot absent from the Spark plan).
+
+    Key protocol: xxhash64(text), the same 64-bit channel as the URL
+    seen set. A hash collision drops a unique doc — at 10^10 docs the
+    birthday expectation is ~3 falsely-dropped documents total, the
+    accepted trade of every 64-bit content-dedup deployment; the
+    md5-keyed relational form (``dedup_against_snapshot``) remains
+    the exact-semantics oracle and the two are asserted identical on
+    collision-free corpora (tests/test_webpipeline.py)."""
+    from website_indexer_spark.operators.frontier import (
+        exclude_keys_bucketed,
+    )
+
+    fresh = exact_dedup(increment, id_col, text_col)
+    keyed = fresh.withColumn(
+        "content_hash", F.xxhash64(F.col(text_col))
+    )
+    return exclude_keys_bucketed(
+        keyed, bucket_files, n_buckets, key="content_hash"
+    ).drop("content_hash")
