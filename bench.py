@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "lm_logloss",
     "host_filter",
     "incremental_dedup",
+    "c4_line_stats",
+    "c4_clean",
+    "paragraph_dedup",
+    "url_filter",
+    "cdx_index",
     "pii_scrub",
     "topk_terms",
     "decontam_report",

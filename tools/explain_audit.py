@@ -306,6 +306,47 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "c4_line_stats": [
+        ("the whole cleaner is narrow: ZERO exchanges — it runs "
+         "inside the scan stage at 100 TB",
+         lambda p: "Exchange" not in p),
+        ("no Python anywhere: higher-order functions stay JVM-side",
+         lambda p: "Python" not in p),
+        ("scan prunes to (doc_id, text)",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "c4_clean": [
+        ("gate composes into the same narrow projection chain — "
+         "still zero exchanges",
+         lambda p: "Exchange" not in p and "Python" not in p),
+    ],
+    "paragraph_dedup": [
+        ("per-line firsts partial-aggregate before the exchange "
+         "(mega-dup boilerplate skew dies in map-side combine)",
+         lambda p: "partial_min" in p),
+        ("the probe is an equi join, never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("reassembly is one hash exchange keyed by doc",
+         lambda p: p.count("Arguments: hashpartitioning") >= 2),
+    ],
+    "url_features": [
+        ("feature block is one narrow projection: zero exchanges, "
+         "no Python",
+         lambda p: "Exchange" not in p and "Python" not in p),
+    ],
+    "url_filter": [
+        ("the gauntlet is a narrow filter fused into the scan stage",
+         lambda p: "Exchange" not in p and "Python" not in p),
+    ],
+    "cdx_index": [
+        ("the index transform adds no exchange of its own (the only "
+         "join is the derivation's broadcast doc_id self-join)",
+         lambda p: "CartesianProduct" not in p
+         and "SortMergeJoin" not in p),
+        ("SURT/digest are native expressions — no Python",
+         lambda p: "Python" not in p),
+    ],
 }
 
 

@@ -721,3 +721,104 @@ def dedup_against_snapshot_bucketed(
     return exclude_keys_bucketed(
         keyed, bucket_files, n_buckets, key="content_hash"
     ).drop("content_hash")
+
+
+# --------------------------------------------------------------------
+# Paragraph-level (line-level) corpus-wide dedup — the Dolma/FineWeb
+# "paragraph dedup" stage: a boilerplate line (nav text, footer,
+# cookie banner) is kept only at its FIRST occurrence corpus-wide and
+# cut from every later document. First = smallest (doc id, position)
+# — a total, engine-portable order.
+# --------------------------------------------------------------------
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    wrap_tokens: int = 10,
+) -> DataFrame:
+    """Rebuild every doc with later duplicate lines removed.
+
+    Output: (id_col, n_lines, n_kept, text) — text is the surviving
+    lines rejoined by newlines in original order; docs that lose every
+    line (or had none) survive with text = ''.
+
+    Plan (three exchanges, each defensible at 100 TB):
+    1. posexplode the line array (narrow; line derivation =
+       `textstats.wrapped_lines`, shared with the repetition family);
+    2. per-line first occurrence via groupBy(line).agg(min(struct(id,
+       pos))) — a partial (map-side) aggregate, so a line duplicated
+       10^9 times collapses to one row per map task BEFORE the
+       exchange: mega-dup skew dies in the combiner, not the shuffle;
+    3. inner equi-join of the exploded lines against the firsts table
+       (N:1). The probe side is skewed by construction (that is the
+       point), the build side is distinct lines — AQE's skew-join
+       split handles the probe; at 10^10-doc scale the firsts table
+       is the seen-set problem and a deployment stores it
+       hash-bucketed (exclude_keys_bucketed with key=xxhash64(line),
+       the `dedup_against_snapshot_bucketed` pattern);
+    4. per-doc reassembly groupBy(id) with sort_array(collect_list(
+       struct(pos, line))) — bounded by document size.
+
+    The join key is the full line string (exact semantics); the
+    shuffle carries each distinct line twice. A deployment trading
+    exactness for bytes keys on xxhash64(line) — 64-bit collisions
+    silently merge two lines, the same trade the crawl seen set
+    documents.
+    """
+    from website_indexer_spark.functions.textstats import (
+        tokens,
+        wrapped_lines,
+    )
+
+    text = F.col(text_col)
+    toked = df.select(
+        F.col(id_col).alias("_doc"),
+        text.alias("_text"),
+        tokens(text).alias("_toks"),
+    )
+    lines = toked.select(
+        "_doc",
+        F.posexplode(
+            wrapped_lines(F.col("_text"), wrap_tokens, toks=F.col("_toks"))
+        ).alias("pos", "line"),
+    )
+    firsts = lines.groupBy("line").agg(
+        F.min(F.struct(F.col("_doc"), F.col("pos"))).alias("first")
+    )
+    kept = (
+        lines.join(firsts, "line")
+        .filter(
+            (F.col("_doc") == F.col("first._doc"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("_doc", "pos", "line")
+    )
+    rebuilt = kept.groupBy("_doc").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    totals = toked.select(
+        "_doc",
+        F.size(
+            wrapped_lines(F.col("_text"), wrap_tokens, toks=F.col("_toks"))
+        ).alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
+    )

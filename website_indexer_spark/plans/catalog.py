@@ -1807,3 +1807,297 @@ SELECT doc_id, source FROM fresh
 WHERE md5(text) IS NULL
    OR md5(text) NOT IN (SELECT h FROM snap_h WHERE h IS NOT NULL)
 """
+
+
+# --------------------------------------------------------------------
+# Web-cleaning / URL-quality / paragraph-dedup / CDX gates (round 4,
+# second batch). The testdata documents are single-line and
+# punctuation-free, so each gate runs over a DETERMINISTIC web-shaped
+# derivation (sources/synth.py::weblines_from_documents /
+# urls_from_documents / pages_from_documents) whose native-expression
+# Spark form has an exact DuckDB CTE twin below — both engines derive
+# the same bytes from the same parquet, then the operator under test
+# transforms them.
+# --------------------------------------------------------------------
+
+from website_indexer_spark.functions import urlstats as _urlstats  # noqa: E402
+from website_indexer_spark.functions import webclean as _webclean  # noqa: E402
+from website_indexer_spark.sources import cdx as _cdx  # noqa: E402
+from website_indexer_spark.sources.synth import (  # noqa: E402
+    pages_from_documents,
+    urls_from_documents,
+    weblines_from_documents,
+)
+
+
+def q_c4_line_stats(spark, sf):
+    """C4 line-cleaning outcome per doc (functions/webclean.py):
+    one narrow higher-order-function projection — zero exchanges."""
+    web = weblines_from_documents(_t(spark, sf, "documents"))
+    return _webclean.c4_line_stats(web)
+
+
+def q_c4_clean(spark, sf):
+    """C4 page gate: bad pages and <3-surviving-line pages dropped,
+    text replaced by the cleaned rebuild."""
+    web = weblines_from_documents(_t(spark, sf, "documents"))
+    return _webclean.c4_clean(web, keep_cols=["source"])
+
+
+def q_paragraph_dedup(spark, sf):
+    """Corpus-wide first-occurrence line dedup (operators/dedup.py::
+    dedup_paragraphs): partial-agg firsts (skew dies map-side),
+    AQE-splittable N:1 probe join, per-doc reassembly."""
+    web = weblines_from_documents(_t(spark, sf, "documents"))
+    return dedup.dedup_paragraphs(web)
+
+
+def q_url_features(spark, sf):
+    """URL quality features (functions/urlstats.py): one narrow
+    regexp/arithmetic projection; digit_ratio is a single int/int
+    IEEE division so the double hash-matches."""
+    urls = urls_from_documents(_t(spark, sf, "documents"))
+    return urls.select(
+        "doc_id", "url", *_urlstats.url_quality_columns(F.col("url"))
+    )
+
+
+def q_url_filter(spark, sf):
+    """URL gauntlet survivors — narrow filter, pushes to the scan."""
+    urls = urls_from_documents(_t(spark, sf, "documents"))
+    return _urlstats.url_quality_filter(urls)
+
+
+def q_cdx_index(spark, sf):
+    """CDX capture index over a web_pages-shaped derivation
+    (sources/cdx.py): SURT + 14-digit UTC timestamp + digest, all
+    native expressions. The 14-digit rendering is wall-clock-free but
+    session-TZ-sensitive, so the gate pins the session to UTC (the
+    engine's own sessions already run UTC — sources/tables.py)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = pages_from_documents(_t(spark, sf, "documents"))
+    return _cdx.cdx_index(pages)
+
+
+SPARK_QUERIES["c4_line_stats"] = q_c4_line_stats
+SPARK_QUERIES["c4_clean"] = q_c4_clean
+SPARK_QUERIES["paragraph_dedup"] = q_paragraph_dedup
+SPARK_QUERIES["url_features"] = q_url_features
+SPARK_QUERIES["url_filter"] = q_url_filter
+SPARK_QUERIES["cdx_index"] = q_cdx_index
+
+
+# --- DuckDB twins ----------------------------------------------------
+
+def _webtext_cte(rel: str = "documents") -> str:
+    """CTE chain deriving the web-shaped multi-line text (exact twin
+    of synth.weblines_from_documents: 8-token lines, (doc_id+i)%12
+    flavor switch, %41/%43 page-level appends)."""
+    return r"""wt_tok AS (
+  SELECT doc_id, source, lang,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM """ + rel + r"""
+), webtext AS (
+  SELECT doc_id, source, lang,
+    coalesce(array_to_string(list_concat(
+      CASE WHEN len(t) > 0 THEN
+        list_transform(generate_series(0, CAST(ceil(len(t)/8.0) AS INT) - 1),
+          i -> CASE ((doc_id + i) % 12)
+               WHEN 0 THEN array_to_string(t[i*8+1 : i*8+8], ' ')
+               WHEN 1 THEN array_to_string(t[i*8+1 : i*8+8], ' ')
+                           || ' javascript required.'
+               WHEN 2 THEN t[i*8+1] || '.'
+               WHEN 3 THEN array_to_string(t[i*8+1 : i*8+8], ' ')
+                           || ' please review our privacy policy.'
+               ELSE array_to_string(t[i*8+1 : i*8+8], ' ') || '.' END)
+      ELSE [] END,
+      CASE WHEN doc_id % 41 = 0 THEN ['lorem ipsum dolor sit amet.']
+           WHEN doc_id % 43 = 0 THEN ['if (x) { return; }']
+           ELSE [] END
+    ), chr(10)), '') AS text
+  FROM wt_tok
+)"""
+
+
+# wrapped_lines twin over the webtext (same CASE chain rs_derived
+# uses: real newlines stripped/blank-dropped, else wrap-10).
+_WLINES = r"""wl AS (
+  SELECT doc_id, source, text,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t2
+  FROM webtext
+), plines AS (
+  SELECT doc_id, source, text,
+    CASE WHEN contains(text, chr(10)) THEN
+      list_filter(list_transform(string_split(text, chr(10)),
+                  l -> regexp_replace(l, '^\s+|\s+$', '', 'g')),
+                  l -> l <> '')
+    WHEN len(t2) > 0 THEN
+      list_transform(generate_series(0, CAST(ceil(len(t2)/10.0) AS INT) - 1),
+                     i -> array_to_string(t2[i*10+1 : i*10+10], ' '))
+    ELSE [] END AS ls
+  FROM wl
+)"""
+
+_C4_KEEP = (
+    r"""list_filter(ls, l -> regexp_matches(l, '[.!?"]$')"""
+    r""" AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3"""
+    r""" AND NOT contains(lower(l), 'javascript')"""
+    r""" AND NOT contains(lower(l), 'terms of use')"""
+    r""" AND NOT contains(lower(l), 'privacy policy')"""
+    r""" AND NOT contains(lower(l), 'cookie policy')"""
+    r""" AND NOT contains(lower(l), 'uses cookies')"""
+    r""" AND NOT contains(lower(l), 'use of cookies')"""
+    r""" AND NOT contains(lower(l), 'use cookies'))"""
+)
+
+ORACLE_SQL["c4_line_stats"] = (
+    "WITH " + _webtext_cte() + ", " + _WLINES + f""", c4 AS (
+  SELECT doc_id, text, ls, {_C4_KEEP} AS kept FROM plines
+)
+SELECT doc_id,
+       len(ls) AS n_lines,
+       len(kept) AS n_kept,
+       (contains(lower(text), 'lorem ipsum') OR contains(text, '{{'))
+         AS bad_page,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM c4
+""".replace("{{", "{")
+)
+
+ORACLE_SQL["c4_clean"] = (
+    "WITH " + _webtext_cte() + ", " + _WLINES + f""", c4 AS (
+  SELECT doc_id, source, text, {_C4_KEEP} AS kept FROM plines
+)
+SELECT doc_id, source,
+       coalesce(array_to_string(kept, chr(10)), '') AS text,
+       len(kept) AS n_kept
+FROM c4
+WHERE NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{{'))
+  AND len(kept) >= 3
+""".replace("{{", "{")
+)
+
+ORACLE_SQL["paragraph_dedup"] = (
+    "WITH " + _webtext_cte() + ", " + _WLINES + r""", ex AS (
+  SELECT doc_id, e.pos AS pos, e.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+             i -> struct_pack(pos := i - 1, line := ls[i]))) AS e
+    FROM plines)
+), rk AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+  FROM ex
+), kept AS (
+  SELECT doc_id, pos, line FROM rk WHERE rk = 1
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id,
+       len(p.ls) AS n_lines,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.text, '') AS text
+FROM plines p LEFT JOIN agg a USING (doc_id)
+"""
+)
+
+_URLS_CTE = r"""u AS (
+  SELECT doc_id, source,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+    || (CASE WHEN doc_id % 5 = 0
+        THEN upper(source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com')
+        ELSE source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+    || (CASE WHEN doc_id % 17 = 0 THEN '/casino' ELSE '' END)
+    || '/sec' || CAST(doc_id % 13 AS VARCHAR)
+    || '/page' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '?ref=rss&id=' || CAST(doc_id AS VARCHAR)
+             WHEN doc_id % 3 = 1 THEN '?utm_source=feed'
+             ELSE '' END) AS url
+  FROM documents
+)"""
+
+_URL_FEATURES = r"""feat AS (
+  SELECT doc_id, source, url,
+    length(url) AS url_len,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:@]*@)?([^/?#:]*)', 2)) AS host,
+    lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)) AS lpath,
+    regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM u
+), feat2 AS (
+  SELECT doc_id, source, url, url_len, scheme, host,
+    CAST(length(lpath) - length(replace(lpath, '/', '')) AS INT)
+      AS path_depth,
+    CAST(len(regexp_extract_all(url, '[0-9]')) AS DOUBLE)
+      / CAST(greatest(length(url), 1) AS DOUBLE) AS digit_ratio,
+    CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END AS n_params,
+    (contains(host, 'casino') OR contains(lpath, 'casino')
+     OR contains(host, 'gambling') OR contains(lpath, 'gambling')
+     OR contains(host, 'viagra') OR contains(lpath, 'viagra'))
+      AS blocklisted
+  FROM feat
+)"""
+
+ORACLE_SQL["url_features"] = (
+    "WITH " + _URLS_CTE + ", " + _URL_FEATURES + """
+SELECT doc_id, url, url_len, scheme, host, path_depth, digit_ratio,
+       n_params, blocklisted
+FROM feat2
+"""
+)
+
+ORACLE_SQL["url_filter"] = (
+    "WITH " + _URLS_CTE + ", " + _URL_FEATURES + """
+SELECT doc_id, source, url FROM feat2
+WHERE url_len <= 2048 AND path_depth <= 8 AND digit_ratio <= 0.5
+  AND n_params <= 8 AND NOT blocklisted
+"""
+)
+
+ORACLE_SQL["cdx_index"] = (
+    "WITH " + _URLS_CTE + r""", p AS (
+  SELECT u.doc_id, u.url,
+         1735689600 + u.doc_id * 37 AS epoch,
+         d.text,
+         CASE WHEN u.doc_id % 19 = 0 THEN 301 ELSE 200 END AS status_code
+  FROM u JOIN documents d USING (doc_id)
+), s AS (
+  SELECT doc_id, url, epoch, text, status_code,
+    lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)?([^/?#]*)', 2)) AS auth,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)) AS lpath,
+    regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM p
+), s2 AS (
+  SELECT doc_id, url, epoch, text, status_code, scheme, lpath, q,
+    CASE WHEN starts_with(regexp_extract(auth, '^([^:]*)', 1), 'www.')
+         THEN substr(regexp_extract(auth, '^([^:]*)', 1), 5)
+         ELSE regexp_extract(auth, '^([^:]*)', 1) END AS host,
+    regexp_extract(auth, ':(\d+)$', 1) AS port
+  FROM s
+)
+SELECT
+  array_to_string(list_reverse(string_split(host, '.')), ',')
+  || (CASE WHEN port = '' OR port = (CASE WHEN scheme = 'http' THEN '80'
+            WHEN scheme = 'https' THEN '443' ELSE '' END)
+      THEN '' ELSE ':' || port END)
+  || ')'
+  || (CASE WHEN lpath = '' THEN '/' ELSE lpath END)
+  || (CASE WHEN q = '' THEN ''
+      ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END)
+    AS surt,
+  strftime(make_timestamp(epoch * 1000000), '%Y%m%d%H%M%S') AS ts14,
+  url,
+  'text/html' AS mime,
+  status_code,
+  md5(text) AS digest,
+  CAST(octet_length(encode(text)) AS BIGINT) AS length
+FROM s2
+"""
+)

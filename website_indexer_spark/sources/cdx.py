@@ -1,0 +1,135 @@
+"""CDX(J) capture index over the web_pages table — Common Crawl's
+native *index* format, the companion to the WARC source
+(sources/warc.py). An archive deployment reads WARCs in and publishes
+a sorted CDXJ index out; this module is the "out" half.
+
+Public format facts used here (pywb / OpenWayback / Common Crawl
+cc-index docs):
+* the index key is the SURT (Sort-friendly URI Reordering Transform)
+  of the capture URL: lowercased host with dot-components reversed
+  and comma-joined, default ports and a leading "www." dropped,
+  ")" then the path, then the query with parameters sorted — so a
+  lexicographic sort clusters captures by registered domain;
+* the secondary key is the 14-digit UTC timestamp (yyyyMMddHHmmss);
+* a CDXJ line is "<surt> <ts14> <JSON blob>" with the JSON carrying
+  url / mime / status / digest / length;
+* the published index is a set of individually sorted shards whose
+  key ranges do not overlap (readers binary-search shard-locally).
+
+The reference has no index format at all (its "index" is the Django
+DB); this is engine surface the WARC half implies. Everything is
+native Column expressions — the SURT transform is regexp + array ops,
+no UDF — and the writer's global order comes from repartitionByRange
++ sortWithinPartitions: the planner samples range boundaries once,
+each shard sorts locally, and no total-order single-task sort ever
+runs (the 100 TB shape: shard count scales with the corpus; Spark's
+rangepartitioning is exactly the non-overlapping-shards contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)?([^/?#]*)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def surt_key(url: Column) -> Column:
+    """SURT form of a URL: 'com,example)/path?a=1&b=2' (host
+    lowercased + reversed, www. and default ports dropped, query
+    params sorted). Pure string/array expressions."""
+    auth = F.lower(F.regexp_extract(url, _AUTH_RE, 2))
+    host = F.regexp_extract(auth, r"^([^:]*)", 1)
+    host = F.when(
+        host.startswith("www."), F.substring(host, 5, 2_000_000)
+    ).otherwise(host)
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    default_port = F.when(scheme == "http", F.lit("80")).when(
+        scheme == "https", F.lit("443")
+    ).otherwise(F.lit(""))
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.regexp_extract(url, _PATH_RE, 1))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    query_part = F.when(query == "", F.lit("")).otherwise(
+        F.concat(
+            F.lit("?"), F.array_join(F.array_sort(F.split(query, r"&")), "&")
+        )
+    )
+    return F.concat(rev_host, port_part, F.lit(")"), path, query_part)
+
+
+def cdx_index(pages: DataFrame) -> DataFrame:
+    """Capture-index rows from a web_pages-shaped table:
+    (surt, ts14, url, mime, status_code, digest, length). digest is
+    the md5 of the raw capture bytes (the real index uses sha1-b32;
+    md5 is what this sandbox has on both engines — same role). One
+    narrow projection; sorting is the writer's job."""
+    return pages.select(
+        surt_key(F.col("url")).alias("surt"),
+        F.date_format(F.col("warc_ts"), "yyyyMMddHHmmss").alias("ts14"),
+        "url",
+        F.col("content_type").alias("mime"),
+        "status_code",
+        F.md5(F.col("html")).alias("digest"),
+        F.octet_length(F.col("html")).cast("long").alias("length"),
+    )
+
+
+def write_cdxj(index: DataFrame, path: str, shards: int = 8) -> None:
+    """Write sorted CDXJ shards: range-partition by (surt, ts14) so
+    shard key ranges never overlap, sort within each shard, render
+    one text line per capture. Reader contract: concatenating shards
+    in partition order yields a globally sorted index."""
+    lines = index.select(
+        F.concat_ws(
+            " ",
+            F.col("surt"),
+            F.col("ts14"),
+            F.to_json(
+                F.struct(
+                    F.col("url"),
+                    F.col("mime"),
+                    F.col("status_code").cast("string").alias("status"),
+                    F.col("digest"),
+                    F.col("length").cast("string").alias("length"),
+                )
+            ),
+        ).alias("value"),
+        "surt",
+        "ts14",
+    )
+    (
+        lines.repartitionByRange(shards, "surt", "ts14")
+        .sortWithinPartitions("surt", "ts14")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """Parse CDXJ shards back to the index table (inverse of
+    write_cdxj up to column types)."""
+    raw = spark.read.text(path)
+    surt = F.regexp_extract("value", r"^(\S+) ", 1)
+    ts14 = F.regexp_extract("value", r"^\S+ (\d{14}) ", 1)
+    blob = F.regexp_extract("value", r"^\S+ \d{14} (.*)$", 1)
+    parsed = F.from_json(
+        blob,
+        "url string, mime string, status string, digest string, length string",
+    )
+    return raw.select(
+        surt.alias("surt"),
+        ts14.alias("ts14"),
+        parsed.getField("url").alias("url"),
+        parsed.getField("mime").alias("mime"),
+        parsed.getField("status").cast("int").alias("status_code"),
+        parsed.getField("digest").alias("digest"),
+        parsed.getField("length").cast("long").alias("length"),
+    )

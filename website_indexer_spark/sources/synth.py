@@ -248,3 +248,141 @@ def generate_web_pages(
         .mapInPandas(gen, WEB_PAGES_SCHEMA)
         .dropDuplicates(["url"])
     )
+
+
+# --------------------------------------------------------------------
+# Deterministic derivations from the driver's `documents` testdata —
+# web-SHAPED columns (multi-line punctuated text, URLs, a pages table)
+# for gating the web-cleaning / URL-quality / CDX operators. Every
+# expression here is pure native Column arithmetic with an exact
+# DuckDB twin (plans/catalog.py::WEBTEXT_CTE / DOC_URLS_CTE /
+# DOC_PAGES_CTE), so the oracle gates hash the SAME derived bytes on
+# both engines. No randomness, no wall clock.
+# --------------------------------------------------------------------
+
+WEBTEXT_WRAP = 8  # tokens per derived line
+
+
+def weblines_from_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, lang, text) where text is a deterministic
+    multi-line web-shaped rewrite of the document: every 8 tokens
+    become a line; per (doc_id + line_index) % 12 a line is left
+    unpunctuated (m=0), tagged with ' javascript required.' (m=1),
+    truncated to one word (m=2), or suffixed with a cookie-notice
+    phrase (m=3) — the C4 line-filter drop flavors — otherwise it
+    gets a terminal '.'. Docs with doc_id % 41 == 0 append a
+    'lorem ipsum' line and % 43 == 0 a curly-brace code line (the
+    C4 page-level drop flavors). Line vocabulary repeats heavily
+    across docs, which is exactly what the paragraph-dedup gate
+    wants. Tokenized ONCE in an owned projection (Catalyst does not
+    CSE across higher-order lambdas — SURVEY §10.22)."""
+    from pyspark.sql import functions as F
+
+    from website_indexer_spark.functions.textstats import tokens
+
+    W = WEBTEXT_WRAP
+    toked = docs.select(
+        "doc_id", "source", "lang", tokens(F.col("text")).alias("_t")
+    )
+    t, doc = F.col("_t"), F.col("doc_id")
+    n = F.size(t)
+
+    def line(i):
+        raw = F.array_join(F.slice(t, i * W + 1, W), " ")
+        m = (doc + i) % 12
+        return (
+            F.when(m == 0, raw)
+            .when(m == 1, F.concat(raw, F.lit(" javascript required.")))
+            .when(m == 2, F.concat(F.element_at(t, i * W + 1), F.lit(".")))
+            .when(m == 3, F.concat(raw, F.lit(" please review our privacy policy.")))
+            .otherwise(F.concat(raw, F.lit(".")))
+        )
+
+    body = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(n.cast("double") / F.lit(W)).cast("int") - 1,
+                    F.lit(0),
+                ),
+            ),
+            line,
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    extra = (
+        F.when(doc % 41 == 0, F.array(F.lit("lorem ipsum dolor sit amet.")))
+        .when(doc % 43 == 0, F.array(F.lit("if (x) { return; }")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return toked.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.array_join(F.concat(body, extra), "\n").alias("text"),
+    )
+
+
+def urls_from_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, url) with deterministic URL shapes exercising
+    every url_quality feature: scheme mix, numbered subdomain hosts,
+    uppercase-host variants (%5), an :8080 port (%11), a /casino
+    blocklist segment (%17), deep paths, and three query flavors
+    (sortable id+ref pair / single utm param / none)."""
+    from pyspark.sql import functions as F
+
+    doc = F.col("doc_id")
+    hostbase = F.concat(
+        F.col("source"), F.lit("-"), (doc % 7).cast("string"),
+        F.lit(".example.com"),
+    )
+    host = F.when(doc % 5 == 0, F.upper(hostbase)).otherwise(hostbase)
+    url = F.concat(
+        F.when(doc % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        host,
+        F.when(doc % 11 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(doc % 17 == 0, F.lit("/casino")).otherwise(F.lit("")),
+        F.lit("/sec"), (doc % 13).cast("string"),
+        F.lit("/page"), doc.cast("string"),
+        F.when(doc % 3 == 0,
+               F.concat(F.lit("?ref=rss&id="), doc.cast("string")))
+        .when(doc % 3 == 1, F.lit("?utm_source=feed"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", url.alias("url"))
+
+
+DOC_PAGES_EPOCH = 1735689600  # 2025-01-01T00:00:00Z
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """web_pages-shaped rows derived from documents: the urls above,
+    warc_ts = epoch + 37s * doc_id, html = utf-8 bytes of the text,
+    status 200 (301 with a location for doc_id % 19 == 0). Input for
+    the CDX-index gate."""
+    from pyspark.sql import functions as F
+
+    doc = F.col("doc_id")
+    return (
+        urls_from_documents(docs)
+        .join(docs.select("doc_id", "text", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "url",
+            F.timestamp_seconds(F.lit(DOC_PAGES_EPOCH) + doc * 37).alias(
+                "warc_ts"
+            ),
+            F.encode(F.col("text"), "UTF-8").alias("html"),
+            "text",
+            "lang",
+            F.when(doc % 19 == 0, F.lit(301))
+            .otherwise(F.lit(200))
+            .alias("status_code"),
+            F.when(doc % 19 == 0, F.concat(F.col("url"), F.lit("/moved")))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("location"),
+            F.lit("text/html").alias("content_type"),
+        )
+    )
