@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "c4_line_stats",
     "c4_clean",
     "paragraph_dedup",
+    "paragraph_dedup_snapshot",
     "url_filter",
     "cdx_index",
     "pii_scrub",

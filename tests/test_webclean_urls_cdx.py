@@ -266,3 +266,114 @@ def test_cdx_plan_shape(spark):
     ).localCheckpoint()
     plan2 = cdx_index(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan2
+
+
+# --------------------------------------------------------------------
+# Cross-snapshot paragraph dedup (relational + bucketed)
+# --------------------------------------------------------------------
+
+SNAP_ROWS = [
+    (100, "published footer line\nold content alpha"),
+    (101, "old content beta\npublished footer line"),
+]
+INC_ROWS = [
+    (1, "published footer line\nfresh content one"),
+    (2, "fresh shared line\nfresh content two\nold content alpha"),
+    (3, "fresh shared line\nfresh content three"),
+    (4, "published footer line\nold content beta"),
+]
+
+
+def _snap_oracle():
+    snap_lines = set()
+    for _, text in SNAP_ROWS:
+        snap_lines.update(l for l in text.split("\n") if l)
+    seen = set(snap_lines)
+    out = {}
+    for doc_id, text in sorted(INC_ROWS):
+        lines = [l for l in (x.strip() for x in text.split("\n")) if l]
+        kept = []
+        for l in lines:
+            if l not in seen:
+                seen.add(l)
+                kept.append(l)
+        out[doc_id] = (len(lines), len(kept), "\n".join(kept))
+    return out
+
+
+def test_paragraph_dedup_snapshot_semantics(spark):
+    from website_indexer_spark.operators.dedup import (
+        dedup_paragraphs_against_snapshot,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text"])
+        for r in dedup_paragraphs_against_snapshot(
+            _docs(spark, INC_ROWS), _docs(spark, SNAP_ROWS)
+        ).collect()
+    }
+    assert got == _snap_oracle()
+    # doc 4 loses everything but survives as an empty rebuild
+    assert got[4] == (2, 0, "")
+    # the increment-internal dup ("fresh shared line") kept once
+    assert "fresh shared line" in got[2][2]
+    assert "fresh shared line" not in got[3][2]
+
+
+def test_paragraph_dedup_snapshot_bucketed_parity(spark, tmp_path):
+    from website_indexer_spark.operators.dedup import (
+        dedup_paragraphs_against_snapshot,
+        dedup_paragraphs_against_snapshot_bucketed,
+        snapshot_hash_bucket_files,
+        write_snapshot_line_layout,
+    )
+
+    inc = _docs(spark, INC_ROWS)
+    snap = _docs(spark, SNAP_ROWS)
+    layout = str(tmp_path / "snap_lines")
+    write_snapshot_line_layout(snap, layout, n_buckets=4)
+    files = snapshot_hash_bucket_files(layout)
+    assert set(files) <= set(range(4)) and files
+    rel = dedup_paragraphs_against_snapshot(inc, snap).toPandas()
+    buck = dedup_paragraphs_against_snapshot_bucketed(
+        inc, files, 4
+    ).toPandas()
+    key = ["doc_id", "n_lines", "n_kept", "text"]
+    assert (
+        rel[key].sort_values("doc_id").values.tolist()
+        == buck[key].sort_values("doc_id").values.tolist()
+    )
+
+
+def test_paragraph_dedup_snapshot_plans(spark, tmp_path):
+    from website_indexer_spark.operators.dedup import (
+        dedup_paragraphs_against_snapshot,
+        dedup_paragraphs_against_snapshot_bucketed,
+        snapshot_hash_bucket_files,
+        write_snapshot_line_layout,
+    )
+
+    inc = _docs(spark, INC_ROWS)
+    snap = _docs(spark, SNAP_ROWS)
+    plan = (
+        dedup_paragraphs_against_snapshot(inc, snap)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # bucketed form: the snapshot never appears as a Spark scan —
+    # probe goes through the Arrow-batched point-read UDF
+    layout = str(tmp_path / "snap_lines2")
+    write_snapshot_line_layout(snap, layout, n_buckets=4)
+    plan2 = (
+        dedup_paragraphs_against_snapshot_bucketed(
+            inc, snapshot_hash_bucket_files(layout), 4
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "snap_lines2" not in plan2
+    assert "ArrowEvalPython" in plan2 or "MapInPandas" in plan2

@@ -330,6 +330,18 @@ CHECKS = {
         ("reassembly is one hash exchange keyed by doc",
          lambda p: p.count("Arguments: hashpartitioning") >= 2),
     ],
+    "paragraph_dedup_snapshot": [
+        ("snapshot-line drop is a LEFT ANTI equi join on the line "
+         "(snapshot text never shuffles as documents — its side is "
+         "a partial-aggregated distinct line set)",
+         lambda p: "LeftAnti" in p and "partial" in p.lower()),
+        ("in-increment firsts still partial-aggregate (mega-dup "
+         "boilerplate skew dies map-side)",
+         lambda p: "partial_min" in p),
+        ("no cartesian / nested-loop anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "url_features": [
         ("feature block is one narrow projection: zero exchanges, "
          "no Python",

@@ -42,6 +42,21 @@ def build_fat_corpus(repl: int) -> str:
         .drop("_r")
     )
     fat.repartition(8).write.mode("overwrite").parquet(out)
+    # materialized derived corpora for the round-4 second-batch ops:
+    # both parallelism levels must read identical parquet, and the
+    # derivation must not be part of the measured operator
+    from website_indexer_spark.sources.synth import (
+        pages_from_documents,
+        weblines_from_documents,
+    )
+
+    fat2 = spark.read.parquet(out)
+    weblines_from_documents(fat2).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(out + "_web")
+    pages_from_documents(fat2).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(out + "_pages")
     spark.stop()
     return out
 
@@ -79,6 +94,28 @@ def run_level(cpus: int, fat_dir: str) -> dict:
             docs.where(F.col("doc_id") % 3 == 0),
         ),
     }
+    # round-4 second batch: C4 cleaning / paragraph dedup over the
+    # materialized web-shaped corpus, URL gauntlet / CDX index over
+    # the materialized pages corpus
+    from website_indexer_spark.functions.urlstats import url_quality_filter
+    from website_indexer_spark.functions.webclean import c4_clean
+    from website_indexer_spark.operators.dedup import dedup_paragraphs
+    from website_indexer_spark.sources.cdx import cdx_index
+
+    web = spark.read.parquet(fat_dir + "_web")
+    pages = spark.read.parquet(fat_dir + "_pages")
+    ops.update(
+        {
+            "c4_clean": lambda: c4_clean(web),
+            "paragraph_dedup": lambda: dedup_paragraphs(web),
+            "url_filter": lambda: url_quality_filter(pages),
+            "cdx_index": lambda: cdx_index(pages),
+        }
+    )
+    only = os.environ.get("SCALE_OPS")
+    if only:
+        keep = set(only.split(","))
+        ops = {k: v for k, v in ops.items() if k in keep}
     best: dict = {}
     for name, mk in ops.items():
         # noop write, NOT count(): count() lets ColumnPruning drop the

@@ -767,6 +767,15 @@ def dedup_paragraphs(
     silently merge two lines, the same trade the crawl seen set
     documents.
     """
+    lines, totals = _line_rows(df, id_col, text_col, wrap_tokens)
+    kept = _first_occurrences(lines)
+    return _rebuild_docs(totals, kept, id_col)
+
+
+def _line_rows(df, id_col, text_col, wrap_tokens):
+    """(lines, totals): lines = one row per (doc, pos, line), totals =
+    per-doc line count (zero-line docs included). Line derivation =
+    `textstats.wrapped_lines`, tokenized once in an owned projection."""
     from website_indexer_spark.functions.textstats import (
         tokens,
         wrapped_lines,
@@ -778,16 +787,22 @@ def dedup_paragraphs(
         text.alias("_text"),
         tokens(text).alias("_toks"),
     )
+    larr = wrapped_lines(F.col("_text"), wrap_tokens, toks=F.col("_toks"))
     lines = toked.select(
-        "_doc",
-        F.posexplode(
-            wrapped_lines(F.col("_text"), wrap_tokens, toks=F.col("_toks"))
-        ).alias("pos", "line"),
+        "_doc", F.posexplode(larr).alias("pos", "line")
     )
+    totals = toked.select("_doc", F.size(larr).alias("n_lines"))
+    return lines, totals
+
+
+def _first_occurrences(lines: DataFrame) -> DataFrame:
+    """Rows of `lines` that are their line's corpus-wide first
+    (smallest (doc, pos)) occurrence. Partial-aggregated firsts, then
+    an N:1 equi probe (AQE-skew-splittable)."""
     firsts = lines.groupBy("line").agg(
         F.min(F.struct(F.col("_doc"), F.col("pos"))).alias("first")
     )
-    kept = (
+    return (
         lines.join(firsts, "line")
         .filter(
             (F.col("_doc") == F.col("first._doc"))
@@ -795,6 +810,12 @@ def dedup_paragraphs(
         )
         .select("_doc", "pos", "line")
     )
+
+
+def _rebuild_docs(totals: DataFrame, kept: DataFrame, id_col: str) -> DataFrame:
+    """One doc-keyed exchange: surviving lines back into documents in
+    original position order; docs that lost every line survive with
+    text = ''."""
     rebuilt = kept.groupBy("_doc").agg(
         F.count("*").alias("n_kept"),
         F.array_join(
@@ -807,12 +828,6 @@ def dedup_paragraphs(
             "\n",
         ).alias("text"),
     )
-    totals = toked.select(
-        "_doc",
-        F.size(
-            wrapped_lines(F.col("_text"), wrap_tokens, toks=F.col("_toks"))
-        ).alias("n_lines"),
-    )
     return (
         totals.join(rebuilt, "_doc", "left")
         .select(
@@ -822,3 +837,85 @@ def dedup_paragraphs(
             F.coalesce(F.col("text"), F.lit("")).alias("text"),
         )
     )
+
+
+def dedup_paragraphs_against_snapshot(
+    increment: DataFrame,
+    snapshot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    wrap_tokens: int = 10,
+) -> DataFrame:
+    """Rolling-dump paragraph dedup: lines of the new increment are
+    dropped if the published snapshot already contains them ANYWHERE,
+    then the survivors go through in-increment first-occurrence dedup
+    — the per-dump stage of a Dolma/FineWeb-style pipeline that keeps
+    boilerplate from re-entering the corpus with every crawl.
+
+    Output shape = `dedup_paragraphs` (id, n_lines, n_kept, text).
+
+    Plan: snapshot side projects to DISTINCT lines (partial-agg, text
+    of the snapshot never shuffles as documents), the drop is a LEFT
+    ANTI equi join on the line string, and the increment-internal
+    pass reuses `_first_occurrences`. At 10^10 docs the snapshot's
+    line set is the seen-set problem — the bucketed form below stores
+    it hash-bucketed and probes it storage-partitioned, exactly like
+    the content-hash and URL seen sets."""
+    inc_lines, totals = _line_rows(increment, id_col, text_col, wrap_tokens)
+    snap_lines = (
+        _line_rows(snapshot, id_col, text_col, wrap_tokens)[0]
+        .select("line")
+        .dropDuplicates(["line"])
+    )
+    survivors = inc_lines.join(snap_lines, "line", "left_anti")
+    kept = _first_occurrences(survivors)
+    return _rebuild_docs(totals, kept, id_col)
+
+
+def write_snapshot_line_layout(
+    snapshot: DataFrame,
+    path: str,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    wrap_tokens: int = 10,
+) -> None:
+    """Materialize the snapshot's distinct line-hash set in the seen
+    table's bucket layout (one xxhash64(line) per distinct line,
+    bucket = pmod(hash, n_buckets)) — what a rolling deployment
+    maintains between dumps for paragraph-level dedup. Reuses
+    `write_snapshot_hash_layout` with the exploded line relation."""
+    lines, _ = _line_rows(snapshot, id_col, text_col, wrap_tokens)
+    write_snapshot_hash_layout(lines, path, n_buckets, text_col="line")
+
+
+def dedup_paragraphs_against_snapshot_bucketed(
+    increment: DataFrame,
+    bucket_files: dict,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    wrap_tokens: int = 10,
+) -> DataFrame:
+    """Above-threshold form of `dedup_paragraphs_against_snapshot`:
+    the snapshot's line-hash set lives in the bucketed layout
+    `write_snapshot_line_layout` writes and the increment's exploded
+    lines probe it via `frontier.exclude_keys_bucketed` — probe-side-
+    only exchange, executor-side point reads, snapshot absent from
+    the Spark plan. Key protocol: xxhash64(line) (the 64-bit
+    collision trade documented on `dedup_against_snapshot_bucketed`);
+    the string-keyed relational form stays the semantics oracle and
+    the two are asserted identical on collision-free corpora."""
+    from website_indexer_spark.operators.frontier import (
+        exclude_keys_bucketed,
+    )
+
+    inc_lines, totals = _line_rows(increment, id_col, text_col, wrap_tokens)
+    keyed = inc_lines.withColumn(
+        "content_hash", F.xxhash64(F.col("line"))
+    )
+    survivors = exclude_keys_bucketed(
+        keyed, bucket_files, n_buckets, key="content_hash"
+    ).drop("content_hash")
+    kept = _first_occurrences(survivors)
+    return _rebuild_docs(totals, kept, id_col)

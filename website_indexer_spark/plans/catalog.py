@@ -2101,3 +2101,51 @@ SELECT
 FROM s2
 """
 )
+
+
+def q_paragraph_dedup_snapshot(spark, sf):
+    """Rolling-dump paragraph dedup (operators/dedup.py::
+    dedup_paragraphs_against_snapshot): snapshot = webtext docs with
+    doc_id%3==0 (the incremental_dedup split), increment = the rest;
+    snapshot lines are dropped everywhere, then in-increment
+    first-occurrence dedup."""
+    web = weblines_from_documents(_t(spark, sf, "documents"))
+    snapshot = web.where(F.col("doc_id") % 3 == 0)
+    increment = web.where(F.col("doc_id") % 3 != 0)
+    return dedup.dedup_paragraphs_against_snapshot(increment, snapshot)
+
+
+SPARK_QUERIES["paragraph_dedup_snapshot"] = q_paragraph_dedup_snapshot
+
+ORACLE_SQL["paragraph_dedup_snapshot"] = (
+    "WITH " + _webtext_cte() + ", " + _WLINES + r""", snapl AS (
+  SELECT DISTINCT line FROM (
+    SELECT unnest(ls) AS line FROM plines WHERE doc_id % 3 = 0)
+), inc AS (
+  SELECT doc_id, ls FROM plines WHERE doc_id % 3 <> 0
+), ex AS (
+  SELECT doc_id, e.pos AS pos, e.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+             i -> struct_pack(pos := i - 1, line := ls[i]))) AS e
+    FROM inc)
+), surv AS (
+  SELECT ex.doc_id, ex.pos, ex.line FROM ex
+  LEFT JOIN snapl s USING (line) WHERE s.line IS NULL
+), rk AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+  FROM surv
+), kept AS (
+  SELECT doc_id, pos, line FROM rk WHERE rk = 1
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT i.doc_id,
+       len(i.ls) AS n_lines,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.text, '') AS text
+FROM inc i LEFT JOIN agg a USING (doc_id)
+"""
+)
