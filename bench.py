@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
+    "semdedup",
     "hash_sample",
     "media_meta",
     "embedding_dup_pairs_lsh",

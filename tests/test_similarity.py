@@ -161,3 +161,86 @@ def test_cosine_dup_pairs_lsh_skew_split(spark):
     # output contract: a < b, no duplicate pairs, cosine >= threshold
     assert all(r["a"] < r["b"] and r["cosine"] >= 0.9999 for r in got)
     assert len(pairs) == len(got)
+
+
+# --------------------------------------------------------------------
+# SemDeDup
+# --------------------------------------------------------------------
+
+
+def _greedy_leaders(group_vids, tau):
+    """Replicate the within-cell greedy rule on the numpy vectors."""
+    unit = VECS / np.linalg.norm(VECS, axis=1, keepdims=True)
+    kept = {}
+    leaders = []
+    for vid in sorted(group_vids):
+        if leaders and float((unit[leaders] @ unit[vid]).max()) >= tau:
+            kept[vid] = False
+        else:
+            kept[vid] = True
+            leaders.append(vid)
+    return kept
+
+
+def test_semdedup_matches_greedy_oracle(spark, corpus_df):
+    tau = 0.9
+    out = sim.semdedup(
+        corpus_df, n_centroids=4, threshold=tau, max_cluster=10_000
+    ).collect()
+    assert len(out) == N
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r["centroid"], {})[r["vid"]] = r["kept"]
+    for cell, members in by_cell.items():
+        assert members == _greedy_leaders(list(members), tau)
+    # clusters are tight (jitter 0.3 around well-separated centers):
+    # most of each cell must collapse onto a few leaders
+    n_kept = sum(r["kept"] for r in out)
+    assert 4 <= n_kept < N // 2
+
+
+def test_semdedup_exact_duplicates_keep_min_id(spark):
+    rows = [(i, VECS[i % 10].astype(float).tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vid"]: r["kept"] for r in sim.semdedup(
+        df, n_centroids=3, threshold=0.999999
+    ).collect()}
+    # each vector appears at ids i, i+10, i+20: only the smallest
+    # surviving copy per identical triple is kept
+    for i in range(10):
+        copies = [i, i + 10, i + 20]
+        kept = [c for c in copies if out[c]]
+        assert kept == [i]
+
+
+def test_semdedup_deterministic_and_split_guard(spark, corpus_df):
+    a = sorted(map(tuple, sim.semdedup(
+        corpus_df, n_centroids=4, threshold=0.9
+    ).collect()))
+    b = sorted(map(tuple, sim.semdedup(
+        corpus_df, n_centroids=4, threshold=0.9
+    ).collect()))
+    assert a == b
+    # forced sub-split still covers every vector exactly once and
+    # can only keep MORE (cross-sub pairs are missed, never extra
+    # drops)
+    split = sim.semdedup(
+        corpus_df, n_centroids=4, threshold=0.9, max_cluster=8
+    ).collect()
+    assert len(split) == N and len({r["vid"] for r in split}) == N
+    kept_full = {r["vid"] for r in sim.semdedup(
+        corpus_df, n_centroids=4, threshold=0.9
+    ).collect() if r["kept"]}
+    kept_split = {r["vid"] for r in split if r["kept"]}
+    assert kept_full <= kept_split
+
+
+def test_semdedup_plan(spark, corpus_df):
+    plan = (
+        sim.semdedup(corpus_df, n_centroids=4, threshold=0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "applyInPandas" in plan.lower()

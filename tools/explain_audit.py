@@ -330,6 +330,15 @@ CHECKS = {
         ("reassembly is one hash exchange keyed by doc",
          lambda p: p.count("Arguments: hashpartitioning") >= 2),
     ],
+    "semdedup": [
+        ("ONE exchange keyed by (centroid, sub) into the "
+         "Arrow-batched leader pass — vectors cross the wire once",
+         lambda p: "FlatMapGroupsInPandas" in p),
+        ("no cartesian / cross join anywhere (the pairwise check is "
+         "a numpy matmul inside the cell)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "paragraph_dedup_snapshot": [
         ("snapshot-line drop is a LEFT ANTI equi join on the line "
          "(snapshot text never shuffles as documents — its side is "

@@ -505,3 +505,112 @@ def cosine_dup_pairs(
     # the same pair can surface from several bands with a bitwise-
     # identical cosine (same float64 pipeline on the same vectors)
     return pairs.dropDuplicates(["a", "b"]).select("a", "b", "cosine")
+
+
+# --------------------------------------------------------------------
+# SemDeDup — semantic dedup via k-means cells + within-cell greedy
+# leader selection (Abbas et al., "SemDeDup: Data-efficient learning
+# at web-scale through semantic deduplication", 2023).
+# --------------------------------------------------------------------
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_centroids: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 7,
+    max_cluster: int = 8192,
+) -> DataFrame:
+    """Survivors of semantic dedup: (vid, centroid, kept).
+
+    Pipeline: seeded spherical k-means (`kmeans_centroids` — the IVF
+    coarse quantizer) assigns every vector to a cell; within each
+    cell a deterministic greedy leader pass (ascending id order; a
+    vector survives iff its cosine to every already-kept vector in
+    the cell is < threshold) drops the semantic near-copies. The
+    paper drops all-but-one of each within-cell dup group; the
+    greedy-leader rule is the deterministic variant of that choice
+    (id order replaces the paper's centroid-distance tie-break so
+    results are engine- and seed-stable).
+
+    Scale shape: ONE exchange keyed by (centroid, sub) into
+    applyInPandas; vectors cross the wire exactly once; the pairwise
+    check is a blocked numpy matmul inside the cell, never a Spark
+    cross join. Cells larger than `max_cluster` are sub-split by
+    seeded xxhash bits of the id (pairs split across sub-cells are
+    missed — the LSH capacity trade `cosine_dup_pairs.max_bucket`
+    documents; at deployment scale k is sized ~sqrt(N) so cells stay
+    small and the guard stays cold).
+    """
+    cents = kmeans_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col,
+        iters=iters, seed=seed,
+    )
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    assigned = ivf_assign(src, cents, "vid", "vec", nprobe=1).join(
+        src, "vid"
+    )
+    sizes = assigned.groupBy("centroid").agg(F.count("*").alias("n"))
+    big = {
+        r["centroid"]: int(r["n"])
+        for r in sizes.filter(F.col("n") > max_cluster).collect()
+    }
+    if big:
+        import math
+
+        bits = {
+            c: int(math.ceil(math.log2(n / max_cluster))) for c, n in big.items()
+        }
+        bits_map = F.create_map(
+            *[x for c, b in bits.items() for x in (F.lit(c), F.lit(b))]
+        )
+        n_subs = F.pow(F.lit(2.0), bits_map[F.col("centroid")]).cast("long")
+        sub = F.coalesce(
+            F.pmod(F.xxhash64(F.col("vid"), F.lit(seed + 2)), n_subs),
+            F.lit(0),
+        )
+    else:
+        sub = F.lit(0)
+    keyed = assigned.withColumn("sub", sub.cast("long"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("centroid", T.IntegerType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
+    )
+
+    def leaders(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid")
+        mat = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        n = len(pdf)
+        kept_idx: list = []
+        kept = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if kept_idx:
+                sims = unit[kept_idx] @ unit[i]
+                if float(sims.max()) >= threshold:
+                    continue
+            kept[i] = True
+            kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "vid": pdf["vid"].to_numpy(),
+                "centroid": pdf["centroid"].to_numpy(),
+                "kept": kept,
+            }
+        )
+
+    return keyed.groupBy("centroid", "sub").applyInPandas(
+        leaders, out_schema
+    )

@@ -2149,3 +2149,16 @@ SELECT i.doc_id,
 FROM inc i LEFT JOIN agg a USING (doc_id)
 """
 )
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup (operators/similarity.py::semdedup): k-means cells +
+    within-cell greedy leader pass. Approximate/float-seeded (Lloyd
+    means), so rows-only like the other sketch operators; semantics
+    pinned by tests/test_similarity.py's greedy oracle."""
+    return similarity.semdedup(
+        _t(spark, sf, "embeddings"), n_centroids=8, threshold=0.92
+    )
+
+
+SPARK_QUERIES["semdedup"] = q_semdedup
