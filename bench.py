@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "mixture_sample",
     "repetition_stats",
     "repetition_filter",
+    "gopher_stats",
+    "gopher_filter",
     "dedup_spans",
     "dedup_span_removal",
     "doc_pack",

@@ -368,6 +368,21 @@ CHECKS = {
         ("SURT/digest are native expressions — no Python",
          lambda p: "Python" not in p),
     ],
+    "gopher_stats": [
+        ("all seven Gopher signals in ONE narrow projection: zero "
+         "exchanges — fuses into the scan stage at 100 TB",
+         lambda p: "Exchange" not in p),
+        ("no Python: tokenization/lines/regex stay JVM-side",
+         lambda p: "Python" not in p),
+        ("scan prunes to (doc_id, text)",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "gopher_filter": [
+        ("the keep rule is a narrow filter on the same projection — "
+         "no join, no exchange",
+         lambda p: "Exchange" not in p and "Join" not in p
+         and "Python" not in p),
+    ],
 }
 
 

@@ -2162,3 +2162,128 @@ def q_semdedup(spark, sf):
 
 
 SPARK_QUERIES["semdedup"] = q_semdedup
+
+
+# --------------------------------------------------------------------
+# Gopher/MassiveText document-quality rule set (Rae et al. 2021 A1.1,
+# the non-repetition half — functions/gopherquality.py). One narrow
+# projection, zero exchanges; thresholds per the A1 table. The gate
+# passes an explicit stop-word list matched to the synthetic corpus's
+# function-word inventory (the operator defaults to Gopher's 8).
+# --------------------------------------------------------------------
+
+from website_indexer_spark.functions import gopherquality as gq  # noqa: E402
+
+GOPHER_GATE_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that"]
+GOPHER_GATE_THRESHOLDS = dict(
+    min_words=50,
+    max_words=100_000,
+    min_mean_word_len=3.0,
+    max_mean_word_len=10.0,
+    max_symbol_word_ratio=0.1,
+    max_bullet_line_frac=0.1,
+    max_ellipsis_line_frac=0.3,
+    min_alpha_word_frac=0.8,
+    min_stopword_hits=2,
+)
+
+
+def q_gopher_stats(spark, sf):
+    """Gopher non-repetition quality signals per document: word count,
+    mean word length, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, distinct stop-word presence —
+    all in one native projection (zero exchanges at any scale)."""
+    out = gq.gopher_quality_stats(
+        _t(spark, sf, "documents"), stopwords=GOPHER_GATE_STOPWORDS
+    )
+    return out.withColumn("n_words", F.col("n_words").cast("long")).withColumn(
+        "stopword_hits", F.col("stopword_hits").cast("long")
+    )
+
+
+def q_gopher_filter(spark, sf):
+    """The Gopher A1 keep rule applied to the documents table
+    (survivor doc_id + source)."""
+    return gq.gopher_quality_filter(
+        _t(spark, sf, "documents"),
+        stopwords=GOPHER_GATE_STOPWORDS,
+        **GOPHER_GATE_THRESHOLDS,
+    ).select("doc_id", "source")
+
+
+SPARK_QUERIES["gopher_stats"] = q_gopher_stats
+SPARK_QUERIES["gopher_filter"] = q_gopher_filter
+
+
+def _gopher_cte(rel: str = "documents") -> str:
+    """gq_* CTE chain (no leading WITH) mirroring
+    gopher_quality_columns stage for stage over `rel`."""
+    sw_terms = " + ".join(
+        "CASE WHEN len(list_filter(t, x -> lower(x) = '%s')) > 0 "
+        "THEN 1 ELSE 0 END" % w
+        for w in GOPHER_GATE_STOPWORDS
+    )
+    return (
+        r"""gq_base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM """
+        + rel
+        + r"""
+), gq_lines AS (
+  SELECT doc_id, text, t,
+    CASE WHEN contains(text, chr(10)) THEN
+      list_filter(list_transform(string_split(text, chr(10)),
+                  l -> regexp_replace(l, '^\s+|\s+$', '', 'g')),
+                  l -> l <> '')
+    WHEN len(t) > 0 THEN
+      list_transform(generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1),
+                     i -> array_to_string(t[i*10+1 : i*10+10], ' '))
+    ELSE [] END AS ls
+  FROM gq_base
+), gq_stats AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE)
+      / greatest(len(t), 1) AS mean_word_len,
+    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+      / greatest(len(t), 1) AS symbol_word_ratio,
+    CAST(len(list_filter(ls, l -> starts_with(l, '•') OR starts_with(l, '‣')
+         OR starts_with(l, '▶') OR starts_with(l, '- ')
+         OR starts_with(l, '* '))) AS DOUBLE)
+      / greatest(len(ls), 1) AS bullet_line_frac,
+    CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+         AS DOUBLE) / greatest(len(ls), 1) AS ellipsis_line_frac,
+    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / greatest(len(t), 1) AS alpha_word_frac,
+    CAST("""
+        + sw_terms
+        + r""" AS BIGINT) AS stopword_hits
+  FROM gq_lines
+)"""
+    )
+
+
+ORACLE_SQL["gopher_stats"] = (
+    "WITH " + _gopher_cte()
+    + "\nSELECT doc_id, n_words, mean_word_len, symbol_word_ratio,\n"
+    "       bullet_line_frac, ellipsis_line_frac, alpha_word_frac,\n"
+    "       stopword_hits FROM gq_stats"
+)
+
+ORACLE_SQL["gopher_filter"] = (
+    "WITH " + _gopher_cte()
+    + f"""
+SELECT d.doc_id, d.source FROM documents d
+JOIN gq_stats s ON s.doc_id = d.doc_id
+WHERE s.n_words BETWEEN {GOPHER_GATE_THRESHOLDS['min_words']}
+      AND {GOPHER_GATE_THRESHOLDS['max_words']}
+  AND s.mean_word_len >= {GOPHER_GATE_THRESHOLDS['min_mean_word_len']}
+  AND s.mean_word_len <= {GOPHER_GATE_THRESHOLDS['max_mean_word_len']}
+  AND s.symbol_word_ratio <= {GOPHER_GATE_THRESHOLDS['max_symbol_word_ratio']}
+  AND s.bullet_line_frac <= {GOPHER_GATE_THRESHOLDS['max_bullet_line_frac']}
+  AND s.ellipsis_line_frac <= {GOPHER_GATE_THRESHOLDS['max_ellipsis_line_frac']}
+  AND s.alpha_word_frac >= {GOPHER_GATE_THRESHOLDS['min_alpha_word_frac']}
+  AND s.stopword_hits >= {GOPHER_GATE_THRESHOLDS['min_stopword_hits']}
+"""
+)
