@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "repetition_filter",
     "gopher_stats",
     "gopher_filter",
+    "pagerank",
+    "link_degrees",
     "dedup_spans",
     "dedup_span_removal",
     "doc_pack",

@@ -383,6 +383,22 @@ CHECKS = {
          lambda p: "Exchange" not in p and "Join" not in p
          and "Python" not in p),
     ],
+    "pagerank": [
+        ("edge list cached + pre-partitioned: consumed from "
+         "InMemoryTableScan every round, built once",
+         lambda p: p.count("InMemoryTableScan") >= 5),
+        ("in-link fan-in partial-aggregates before each round's "
+         "exchange (mega-page skew dies map-side)",
+         lambda p: "partial" in p.lower()),
+        ("never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "link_degrees": [
+        ("one tagged union + one partial-aggregated exchange keyed "
+         "by node",
+         lambda p: "Union" in p and "partial" in p.lower()),
+    ],
 }
 
 

@@ -1,29 +1,45 @@
-"""Link-graph operators over an edge table (src, dst): degrees and an
-integer-exact PageRank — the web-graph half of a crawl pipeline (the
-reference stores raw hrefs in its Link dimension,
-/root/reference/crawler/models.py:91-95, but computes nothing over
-them; host/page rank and degree statistics are what a deployment
-derives from that table for crawl prioritization and spam scoring).
+"""Link-graph analytics over crawled pages: integer-exact PageRank
+plus degree statistics.
 
-PageRank here uses EXACT integer arithmetic end to end: ranks are
-bigint micro-units (``scale`` = 1e12 by default), each out-edge
-contribution is ``rank * 85 div (100 * out_deg)`` (integer division),
-and the damping base is ``15 * scale div (100 * n)``. Integer sums
-are order-independent, so the result is bit-identical on any engine,
-any partitioning, any summation order — which is what lets the
-driver gate hash-match a DuckDB mirror (the float formulation would
-differ in final ulps per engine). The cost of exactness: each
-division floors, so total mass decays by < 1 unit per node per
-iteration (and dangling-node mass is dropped, the standard
-simplification) — irrelevant for ranking, which is the operator's
-job.
+The crawl half of this engine materializes a links dimension
+(reference: the viewer's crawler_link table, viewer/models.py — pairs
+of (page, href)); a web-scale deployment's next question is always
+"which hosts/pages matter" — frontier prioritization, seed weighting,
+spam demotion. PageRank is the canonical answer and the canonical
+iterative-dataflow stress test for a Spark engine.
 
-Scale shape per iteration: one equi join keyed by src (rank lookup),
-one partial-aggregated exchange keyed by dst (contribution sum —
-mega-in-degree hubs collapse in map-side combine), one left join
-back onto the node list. No iteration ever materializes more than
-(edges + nodes) rows; `checkpoint_every` truncates plan lineage for
-long runs (clusters.py precedent).
+Integer-exact protocol (the catalog-wide determinism rule): float
+PageRank sums doubles in engine-dependent order, so two engines
+disagree in the last ulp and a value hash can never gate it. This
+implementation keeps every intermediate in BIGINT micro-units of the
+N-scaled score R_i = N * 10^6 * pr_i:
+
+    R0_i  = 1_000_000
+    R'_i  = 150_000 + (85 * SUM_j(R_j DIV outdeg_j)) DIV 100
+
+(d = 0.85 as the 85/100 rational; (1-d)/N scaled by N*10^6 is the
+constant 150_000; DIV is integer division). Every operation is exact
+bigint arithmetic — any engine reproduces the bits, so the DuckDB
+oracle hash-matches after any number of rounds. Score mass bleeds by
+the DIV remainders and dangling nodes (documented classic "simple"
+PageRank: dangling mass is dropped, not redistributed) — fine for
+ranking, which is PageRank's job.
+
+Scale shape (the part that must survive 10^10 edges):
+* edges are the big, static side: joined BY KEY (src) every round.
+  The caller-supplied frame is repartitioned on src ONCE and cached;
+  Spark's InMemoryRelation preserves that outputPartitioning, so
+  each round's join re-exchanges ONLY the rank table (one row per
+  node, orders of magnitude smaller than the edge list).
+* contributions partial-aggregate on dst before the exchange
+  (map-side combine absorbs a mega-page's in-link fan-in; AQE's
+  skew handling covers the residual).
+* ranks are node-sized; at 10^10 nodes the per-round exchange is the
+  irreducible cost — the same one-exchange-per-round shape GraphX /
+  Pregel settle on.
+* the driver never sees a row: no collect anywhere; convergence is
+  fixed-round (callers wanting a tolerance can diff successive
+  rounds with an AGG, still distributed).
 """
 
 from __future__ import annotations
@@ -31,81 +47,96 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_SCALE = 10**12
+PR_INIT_MICRO = 1_000_000
+PR_TELEPORT_MICRO = 150_000  # (1 - 0.85) * 10^6
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
 
 
-def degree_stats(edges: DataFrame) -> DataFrame:
-    """(node, out_deg, in_deg) over every node that appears on either
-    side. Two partial-aggregated exchanges + one outer merge."""
-    out_d = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("out_deg")
+def degree_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, out_degree, in_degree) — one tagged union + one
+    partial-aggregated exchange keyed by node."""
+    out_half = edges.select(
+        F.col(src_col).alias("node"),
+        F.lit(1).cast("long").alias("o"),
+        F.lit(0).cast("long").alias("i"),
     )
-    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
-        F.count("*").alias("in_deg")
+    in_half = edges.select(
+        F.col(dst_col).alias("node"),
+        F.lit(0).cast("long").alias("o"),
+        F.lit(1).cast("long").alias("i"),
     )
     return (
-        out_d.join(in_d, "node", "full_outer")
-        .select(
-            "node",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        out_half.unionAll(in_half)
+        .groupBy("node")
+        .agg(
+            F.sum("o").alias("out_degree"),
+            F.sum("i").alias("in_degree"),
         )
     )
 
 
-def pagerank_int(
+def pagerank_exact(
+    nodes: DataFrame,
     edges: DataFrame,
-    n_iters: int = 3,
-    scale: int = DEFAULT_SCALE,
-    damp_num: int = 85,
-    damp_den: int = 100,
-    checkpoint_every: int = 0,
+    rounds: int = 5,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    partitions: int = 0,
 ) -> DataFrame:
-    """(node, rank_int) after `n_iters` synchronous PageRank steps.
+    """Integer-exact fixed-round PageRank (module docstring for the
+    protocol). ``nodes`` is one row per node (dangling nodes receive
+    the teleport constant); ``edges`` keeps multiplicity (a page
+    linking twice contributes twice — parallel edges are real links).
 
-    rank_0 = scale div n for every node;
-    rank_{t+1}(v) = (damp_den-damp_num)*scale div (damp_den*n)
-                    + sum over in-edges (u,v) of
-                      rank_t(u)*damp_num div (damp_den*out_deg(u)).
-
-    All divisions are integer (see module docstring). Runs ONE eager
-    job up front (the node count — the same documented driver-sized
-    scalar mixture_sample and stratified_quota take); everything
-    else is lazy until the caller acts."""
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .dropDuplicates(["node"])
+    Returns (node_col, pr_micro: bigint). Runs ``rounds`` joins; each
+    round exchanges only rank-sized rows because the edge list is
+    repartitioned on src once and cached here.
+    """
+    n_parts = partitions or edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.select(
-            "node", F.lit(0).cast("long").alias("rank_int")
+    deg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
+    edged = (
+        edges.join(deg, src_col)
+        .select(
+            F.col(src_col).alias("_src"),
+            F.col(dst_col).alias("_dst"),
+            F.col("_deg"),
         )
-    base = (damp_den - damp_num) * scale // (damp_den * n)
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+        .repartition(int(n_parts), F.col("_src"))
+        .persist()
+    )
     ranks = nodes.select(
-        "node", F.lit(scale // n).cast("long").alias("rank_int")
+        F.col(node_col).alias("_node"),
+        F.lit(PR_INIT_MICRO).cast("long").alias("_pr"),
     )
-    for i in range(n_iters):
-        contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(out_deg, "src")
+    for _ in range(rounds):
+        contrib = (
+            edged.join(ranks, edged["_src"] == ranks["_node"])
             .select(
-                F.col("dst").alias("node"),
-                F.expr(
-                    f"(rank_int * {damp_num}) div ({damp_den} * out_deg)"
-                ).alias("c"),
+                F.col("_dst"),
+                F.expr("_pr div _deg").alias("_c"),
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_in"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
-            .cast("long")
-            .alias("rank_int"),
+        ranks = (
+            nodes.select(F.col(node_col).alias("_node"))
+            .join(contrib, F.col("_node") == F.col("_dst"), "left")
+            .select(
+                "_node",
+                (
+                    F.lit(PR_TELEPORT_MICRO)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(_in, 0L)) div {PR_DAMP_DEN}"
+                    )
+                ).alias("_pr"),
+            )
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select(
+        F.col("_node").alias(node_col), F.col("_pr").alias("pr_micro")
+    )

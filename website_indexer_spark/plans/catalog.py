@@ -2287,3 +2287,96 @@ WHERE s.n_words BETWEEN {GOPHER_GATE_THRESHOLDS['min_words']}
   AND s.stopword_hits >= {GOPHER_GATE_THRESHOLDS['min_stopword_hits']}
 """
 )
+
+
+# --------------------------------------------------------------------
+# Link-graph analytics (operators/linkgraph.py): integer-exact
+# PageRank + degree stats over a deterministic doc-level link graph
+# derived from the documents table (synth.links_from_documents ⟷ the
+# pr_e CTE — both engines derive identical edges, then the operator
+# under test runs). The integer micro-unit protocol makes 5 rounds of
+# PageRank hash-exact across engines (see linkgraph.py docstring).
+# --------------------------------------------------------------------
+
+from website_indexer_spark.operators import linkgraph  # noqa: E402
+from website_indexer_spark.sources.synth import links_from_documents  # noqa: E402
+
+PAGERANK_ROUNDS = 5
+
+
+def q_link_degrees(spark, sf):
+    """(node, out_degree, in_degree) over the derived link graph —
+    one tagged union + one partial-aggregated exchange keyed by node."""
+    docs = _t(spark, sf, "documents")
+    edges = links_from_documents(docs, docs.count())
+    return linkgraph.degree_stats(edges)
+
+
+def q_pagerank(spark, sf):
+    """Fixed-round integer-exact PageRank (micro-unit protocol —
+    operators/linkgraph.py): 5 rounds, damping 85/100, dangling mass
+    dropped. Eager doc-count job for the derivation's modulus
+    (documents is node-sized; the operator itself never collects)."""
+    docs = _t(spark, sf, "documents")
+    nodes = docs.select("doc_id")
+    edges = links_from_documents(docs, docs.count())
+    return linkgraph.pagerank_exact(
+        nodes, edges, rounds=PAGERANK_ROUNDS, node_col="doc_id"
+    )
+
+
+SPARK_QUERIES["link_degrees"] = q_link_degrees
+SPARK_QUERIES["pagerank"] = q_pagerank
+
+_LINKGRAPH_CTE = """pr_n AS (SELECT count(*) AS n FROM documents),
+pr_e AS (
+  SELECT src, dst FROM (
+    SELECT doc_id AS src,
+           (doc_id * 2654435761 + j * 40503) % (SELECT n FROM pr_n) AS dst
+    FROM (SELECT doc_id,
+                 unnest(generate_series(1, CAST(1 + doc_id % 3 AS INT))) AS j
+          FROM documents)
+  ) WHERE dst <> src
+)"""
+
+
+def _pagerank_sql(rounds: int = PAGERANK_ROUNDS) -> str:
+    sql = (
+        "WITH "
+        + _LINKGRAPH_CTE
+        + """,
+pr_deg AS (SELECT src, count(*) AS deg FROM pr_e GROUP BY src),
+pr_r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS pr
+          FROM documents)"""
+    )
+    for k in range(rounds):
+        sql += f""",
+pr_c{k} AS (
+  SELECT e.dst, sum(r.pr // g.deg) AS m
+  FROM pr_e e JOIN pr_deg g USING (src) JOIN pr_r{k} r ON r.node = e.src
+  GROUP BY e.dst
+),
+pr_r{k + 1} AS (
+  SELECT n0.node,
+         CAST(150000 + (85 * coalesce(c.m, 0)) // 100 AS BIGINT) AS pr
+  FROM pr_r0 n0 LEFT JOIN pr_c{k} c ON c.dst = n0.node
+)"""
+    return sql + (
+        f"\nSELECT node AS doc_id, pr AS pr_micro FROM pr_r{rounds}"
+    )
+
+
+ORACLE_SQL["pagerank"] = _pagerank_sql()
+
+ORACLE_SQL["link_degrees"] = (
+    "WITH "
+    + _LINKGRAPH_CTE
+    + """
+SELECT node, CAST(sum(o) AS BIGINT) AS out_degree,
+       CAST(sum(i) AS BIGINT) AS in_degree
+FROM (SELECT src AS node, 1 AS o, 0 AS i FROM pr_e
+      UNION ALL
+      SELECT dst AS node, 0 AS o, 1 AS i FROM pr_e)
+GROUP BY node
+"""
+)

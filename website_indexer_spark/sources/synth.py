@@ -386,3 +386,30 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
             F.lit("text/html").alias("content_type"),
         )
     )
+
+
+def links_from_documents(docs: DataFrame, n_docs: int) -> DataFrame:
+    """(src, dst) doc-level link edges, deterministic from doc_id:
+    doc i emits 1 + i % 3 out-links, target_j = (i * 2654435761 +
+    j * 40503) % n_docs (Knuth multiplicative mix — targets spread
+    uniformly, every value exact in bigint), self-loops dropped.
+    Multiplicity kept: colliding targets are parallel edges, which
+    PageRank treats as repeated links (both engines identically).
+    ``n_docs`` is passed explicitly (doc_id is dense 0..n-1 in the
+    testdata tables; the DuckDB mirror computes count(*) itself)."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    e = docs.select(
+        d.alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), (F.lit(1) + d % 3).cast("int"))
+        ).alias("j"),
+    ).select(
+        "src",
+        (
+            (F.col("src") * F.lit(2654435761) + F.col("j") * F.lit(40503))
+            % F.lit(n_docs)
+        ).alias("dst"),
+    )
+    return e.filter(F.col("dst") != F.col("src"))
