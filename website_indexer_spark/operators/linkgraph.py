@@ -86,6 +86,7 @@ def pagerank_exact(
     src_col: str = "src",
     dst_col: str = "dst",
     partitions: int = 0,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Integer-exact fixed-round PageRank (module docstring for the
     protocol). ``nodes`` is one row per node (dangling nodes receive
@@ -94,7 +95,11 @@ def pagerank_exact(
 
     Returns (node_col, pr_micro: bigint). Runs ``rounds`` joins; each
     round exchanges only rank-sized rows because the edge list is
-    repartitioned on src once and cached here.
+    repartitioned on src once and cached here. Every
+    ``checkpoint_every`` rounds the rank frame is localCheckpointed
+    (clusters.py precedent) so plan lineage — and with it Catalyst
+    analysis time — stays bounded for long runs; the values are
+    exact integers, so truncation can never change the result.
     """
     n_parts = partitions or edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
@@ -114,7 +119,7 @@ def pagerank_exact(
         F.col(node_col).alias("_node"),
         F.lit(PR_INIT_MICRO).cast("long").alias("_pr"),
     )
-    for _ in range(rounds):
+    for i in range(rounds):
         contrib = (
             edged.join(ranks, edged["_src"] == ranks["_node"])
             .select(
@@ -137,6 +142,10 @@ def pagerank_exact(
                 ).alias("_pr"),
             )
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < rounds:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("_node").alias(node_col), F.col("_pr").alias("pr_micro")
     )
