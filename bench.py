@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "gopher_filter",
     "pagerank",
     "link_degrees",
+    "wet_roundtrip",
     "dedup_spans",
     "dedup_span_removal",
     "doc_pack",

@@ -2380,3 +2380,51 @@ FROM (SELECT src AS node, 1 AS o, 0 AS i FROM pr_e
 GROUP BY node
 """
 )
+
+
+# --------------------------------------------------------------------
+# WET round trip (sources/wet.py): publish the derived pages table as
+# WET conversion shards (range-partitioned task-side writes), read it
+# back with the shared WARC record grammar, and hash-match the
+# decoded (url, epoch, text md5) against DuckDB's reconstruction from
+# the same source rows — the md5 equality proves the record framing
+# and utf-8 round trip are byte-exact.
+# --------------------------------------------------------------------
+
+
+def q_wet_roundtrip(spark, sf):
+    """Common Crawl WET format round trip: pages → write_wet (one
+    task per shard, warcinfo-led multi-member gzip) → read_wet (one
+    task per file) → decoded rows."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from website_indexer_spark.sources.synth import pages_from_documents
+    from website_indexer_spark.sources.wet import read_wet, write_wet
+
+    pages = pages_from_documents(_t(spark, sf, "documents")).filter(
+        F.col("status_code") == 200
+    )
+    tag = hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:10]
+    out_dir = _os.path.join(tempfile.gettempdir(), f"wi_spark_wet_gate_{tag}")
+    write_wet(pages, out_dir, shards=4)
+    back = read_wet(spark, out_dir + "/part-*")
+    return back.select(
+        "url",
+        F.col("wet_ts").cast("long").alias("wet_epoch"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+SPARK_QUERIES["wet_roundtrip"] = q_wet_roundtrip
+
+ORACLE_SQL["wet_roundtrip"] = (
+    "WITH " + _URLS_CTE + """
+SELECT u.url,
+       CAST(1735689600 + u.doc_id * 37 AS BIGINT) AS wet_epoch,
+       md5(d.text) AS text_md5
+FROM u JOIN documents d USING (doc_id)
+WHERE u.doc_id % 19 <> 0
+"""
+)
