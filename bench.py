@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "pagerank",
     "link_degrees",
     "wet_roundtrip",
+    "sitemap_entries",
     "dedup_spans",
     "dedup_span_removal",
     "doc_pack",

@@ -399,6 +399,13 @@ CHECKS = {
          "by node",
          lambda p: "Union" in p and "partial" in p.lower()),
     ],
+    "sitemap_entries": [
+        ("the XML entry parse is a narrow regexp projection + "
+         "explode — the only exchanges belong to the derivation's "
+         "per-source groupBy, never the parse",
+         lambda p: "Python" not in p
+         and "CartesianProduct" not in p),
+    ],
 }
 
 

@@ -2428,3 +2428,69 @@ FROM u JOIN documents d USING (doc_id)
 WHERE u.doc_id % 19 <> 0
 """
 )
+
+
+# --------------------------------------------------------------------
+# Sitemap source (sources/sitemap.py): deterministic sitemaps built
+# from the documents table (synth.sitemaps_from_documents — per-source
+# <urlset> docs + one <sitemapindex>, URLs entity-escaped), parsed
+# back by the native-regexp entry parser. The oracle reconstructs the
+# expected entry rows straight from the source rows, so the gate
+# proves the whole build → escape → parse → unescape round trip.
+# --------------------------------------------------------------------
+
+
+def q_sitemap_entries(spark, sf):
+    """sitemaps.org entry parser over derived sitemap XML: one row
+    per <url>/<sitemap> entry with decoded loc + optional fields.
+    Parse is a narrow regexp projection + explode (no Python)."""
+    from website_indexer_spark.sources.sitemap import sitemap_entries
+    from website_indexer_spark.sources.synth import sitemaps_from_documents
+
+    sm = sitemaps_from_documents(_t(spark, sf, "documents"))
+    return sitemap_entries(sm)
+
+
+def q_sitemap_seeds(spark, sf):
+    """Frontier seed extraction: distinct page URLs + child sitemap
+    URLs from the same corpus."""
+    from website_indexer_spark.sources.sitemap import seeds_from_sitemaps
+    from website_indexer_spark.sources.synth import sitemaps_from_documents
+
+    sm = sitemaps_from_documents(_t(spark, sf, "documents"))
+    return seeds_from_sitemaps(sm)
+
+
+SPARK_QUERIES["sitemap_entries"] = q_sitemap_entries
+SPARK_QUERIES["sitemap_seeds"] = q_sitemap_seeds
+
+_SITEMAP_ENTRIES_SQL = (
+    "WITH " + _URLS_CTE + """
+SELECT 'https://' || u.source || '.example.com/sitemap.xml' AS sitemap_url,
+       'url' AS kind,
+       u.url AS loc,
+       CASE WHEN u.doc_id % 2 = 0 THEN
+         strftime(make_timestamp((1735689600 + u.doc_id * 37) * 1000000),
+                  '%Y-%m-%d') END AS lastmod,
+       CASE WHEN u.doc_id % 5 = 0 THEN
+         (['daily', 'weekly', 'monthly'])[CAST(u.doc_id % 3 AS INT) + 1]
+       END AS changefreq,
+       CASE WHEN u.doc_id % 3 = 0 THEN
+         '0.' || CAST(u.doc_id % 10 AS VARCHAR) END AS priority
+FROM u
+UNION ALL
+SELECT 'https://index.example.com/sitemap_index.xml' AS sitemap_url,
+       'sitemap' AS kind,
+       'https://' || source || '.example.com/sitemap.xml' AS loc,
+       NULL AS lastmod, NULL AS changefreq, NULL AS priority
+FROM (SELECT DISTINCT source FROM documents)
+"""
+)
+
+ORACLE_SQL["sitemap_entries"] = _SITEMAP_ENTRIES_SQL
+
+ORACLE_SQL["sitemap_seeds"] = (
+    "WITH sm_e AS (" + _SITEMAP_ENTRIES_SQL + """)
+SELECT DISTINCT kind, loc AS url FROM sm_e WHERE loc IS NOT NULL
+"""
+)

@@ -413,3 +413,124 @@ def links_from_documents(docs: DataFrame, n_docs: int) -> DataFrame:
         ).alias("dst"),
     )
     return e.filter(F.col("dst") != F.col("src"))
+
+
+def sitemaps_from_documents(docs: DataFrame) -> DataFrame:
+    """(sitemap_url, xml) — one sitemaps.org <urlset> document per
+    source (entries = that source's urls_from_documents rows, sorted
+    by doc_id, XML-entity-escaped; lastmod on even doc_ids, priority
+    on doc_id % 3 == 0, changefreq on doc_id % 5 == 0) plus ONE
+    <sitemapindex> document listing every per-source sitemap. The
+    query-string URLs contain '&', so the escape → parse → unescape
+    round trip is exercised by construction."""
+    from pyspark.sql import functions as F
+
+    u = urls_from_documents(docs)
+    doc = F.col("doc_id")
+
+    def esc(col):
+        out = col
+        for ch, ent in (
+            ("&", "&amp;"),
+            ("<", "&lt;"),
+            (">", "&gt;"),
+            ('"', "&quot;"),
+            ("'", "&apos;"),
+        ):
+            out = F.replace(out, F.lit(ch), F.lit(ent))
+        return out
+
+    lastmod = F.when(
+        doc % 2 == 0,
+        F.concat(
+            F.lit("<lastmod>"),
+            F.date_format(
+                F.timestamp_seconds(F.lit(DOC_PAGES_EPOCH) + doc * 37),
+                "yyyy-MM-dd",
+            ),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    changefreq = F.when(
+        doc % 5 == 0,
+        F.concat(
+            F.lit("<changefreq>"),
+            F.element_at(
+                F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+                (doc % 3).cast("int") + 1,
+            ),
+            F.lit("</changefreq>"),
+        ),
+    ).otherwise(F.lit(""))
+    priority = F.when(
+        doc % 3 == 0,
+        F.concat(
+            F.lit("<priority>0."),
+            (doc % 10).cast("string"),
+            F.lit("</priority>"),
+        ),
+    ).otherwise(F.lit(""))
+    frag = F.concat(
+        F.lit("<url><loc>"), esc(F.col("url")), F.lit("</loc>"),
+        lastmod, changefreq, priority, F.lit("</url>"),
+    )
+    per_source = (
+        u.select("source", F.struct(doc.alias("d"), frag.alias("f")).alias("e"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda s: s["f"]
+                ),
+                "",
+            ).alias("body")
+        )
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/sitemap.xml"),
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+                      '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                      'sitemap/0.9">'),
+                F.col("body"),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    index = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("<sitemap><loc>https://"), F.col("source"),
+                F.lit(".example.com/sitemap.xml</loc></sitemap>"),
+            ).alias("frag"),
+            F.col("source"),
+        )
+        .groupBy()
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("source", "frag"))
+                    ),
+                    lambda s: s["frag"],
+                ),
+                "",
+            ).alias("body")
+        )
+        .select(
+            F.lit("https://index.example.com/sitemap_index.xml").alias(
+                "sitemap_url"
+            ),
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+                      "<sitemapindex>"),
+                F.col("body"),
+                F.lit("</sitemapindex>"),
+            ).alias("xml"),
+        )
+    )
+    return per_source.unionAll(index)
