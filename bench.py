@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "link_degrees",
     "wet_roundtrip",
     "sitemap_entries",
+    "anchor_text",
     "dedup_spans",
     "dedup_span_removal",
     "doc_pack",

@@ -406,6 +406,17 @@ CHECKS = {
          lambda p: "Python" not in p
          and "CartesianProduct" not in p),
     ],
+    "anchor_text": [
+        ("pair counts partial-aggregate before the exchange "
+         "(mega-duplicate anchors collapse map-side)",
+         lambda p: "partial" in p.lower()),
+        ("top-k is a WindowGroupLimit pushed below the shuffle — a "
+         "mega-in-degree target never funnels all anchors through "
+         "one reducer",
+         lambda p: "WindowGroupLimit" in p),
+        ("never cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 

@@ -2494,3 +2494,63 @@ ORACLE_SQL["sitemap_seeds"] = (
 SELECT DISTINCT kind, loc AS url FROM sm_e WHERE loc IS NOT NULL
 """
 )
+
+
+# --------------------------------------------------------------------
+# Anchor-text aggregation (operators/anchortext.py) over the derived
+# link graph: each edge (src, dst) carries a deterministic anchor —
+# a 2-token slice of the TARGET doc's text selected by src % 3 — so
+# different sources repeat the same anchors and the top-k has real
+# frequency structure. Both engines derive identical edges+anchors,
+# then the operator under test aggregates.
+# --------------------------------------------------------------------
+
+
+def q_anchor_text(spark, sf):
+    """Per-target top-3 anchor strings by in-link frequency (count
+    desc, anchor asc): partial-agg pair counts + WindowGroupLimit
+    top-k."""
+    from website_indexer_spark.functions.textstats import tokens as _toks
+    from website_indexer_spark.operators.anchortext import anchor_text_agg
+
+    docs = _t(spark, sf, "documents")
+    edges = links_from_documents(docs, docs.count())
+    toked = docs.select(
+        F.col("doc_id").alias("dst"), _toks(F.col("text")).alias("_t")
+    )
+    linked = edges.join(toked, "dst").select(
+        "dst",
+        F.array_join(
+            F.slice(F.col("_t"), (F.col("src") % 3).cast("int") + 1, 2), " "
+        ).alias("anchor"),
+    )
+    return anchor_text_agg(linked, target_col="dst", anchor_col="anchor")
+
+
+SPARK_QUERIES["anchor_text"] = q_anchor_text
+
+ORACLE_SQL["anchor_text"] = (
+    "WITH " + _LINKGRAPH_CTE + r""",
+at_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), at_a AS (
+  SELECT e.dst AS url,
+         regexp_replace(trim(array_to_string(
+           b.t[CAST(e.src % 3 AS INT) + 1 : CAST(e.src % 3 AS INT) + 2], ' ')),
+           '\s+', ' ', 'g') AS anchor
+  FROM pr_e e JOIN at_t b ON b.doc_id = e.dst
+), at_c AS (
+  SELECT url, anchor, count(*) AS n_links
+  FROM at_a WHERE anchor <> '' GROUP BY url, anchor
+), at_r AS (
+  SELECT url, anchor, n_links,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY n_links DESC, anchor ASC) AS rank
+  FROM at_c
+)
+SELECT url, anchor, n_links, CAST(rank AS BIGINT) AS rank
+FROM at_r WHERE rank <= 3
+"""
+)
