@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "wet_roundtrip",
     "sitemap_entries",
     "anchor_text",
+    "dedup_normalized",
+    "compression_ratio",
     "dedup_spans",
     "dedup_span_removal",
     "doc_pack",

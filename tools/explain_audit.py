@@ -406,6 +406,16 @@ CHECKS = {
          lambda p: "Python" not in p
          and "CartesianProduct" not in p),
     ],
+    "dedup_normalized": [
+        ("key projection fuses into the scan; group is ONE "
+         "partial-aggregated exchange on the md5 key",
+         lambda p: "partial" in p.lower() and "Python" not in p),
+    ],
+    "compression_ratio": [
+        ("the one unavoidable Python stage is Arrow-batched, never "
+         "row-at-a-time",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+    ],
     "anchor_text": [
         ("pair counts partial-aggregate before the exchange "
          "(mega-duplicate anchors collapse map-side)",

@@ -2554,3 +2554,55 @@ SELECT url, anchor, n_links, CAST(rank AS BIGINT) AS rank
 FROM at_r WHERE rank <= 3
 """
 )
+
+
+# --------------------------------------------------------------------
+# Dedup text normalization + compression-ratio signal
+# (functions/textnorm.py). The normalized-key gate groups the corpus
+# by md5(normalize(text)) — the FineWeb/Dolma dedup key — and the
+# compression gate is rows-only (zlib output is build-dependent;
+# semantics pinned by tests/test_textnorm.py against zlib directly).
+# --------------------------------------------------------------------
+
+
+def q_dedup_normalized(spark, sf):
+    """Exact dedup on the normalized key: per dedup_key the surviving
+    (min) doc_id and the group size. Same partial-agg one-exchange
+    shape as dedup_exact, with the key projection fused into the
+    scan."""
+    from website_indexer_spark.functions.textnorm import with_dedup_key
+
+    keyed = with_dedup_key(_t(spark, sf, "documents"))
+    return keyed.groupBy("dedup_key").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_compression_ratio(spark, sf):
+    """Per-doc deflate/utf-8 byte ratio (Arrow-batched pandas UDF —
+    the documented slow path; no native deflate exists). Rows-only."""
+    from website_indexer_spark.functions.textnorm import (
+        with_compression_ratio,
+    )
+
+    return with_compression_ratio(
+        _t(spark, sf, "documents").select("doc_id", "text")
+    ).select("doc_id", "compression_ratio")
+
+
+SPARK_QUERIES["dedup_normalized"] = q_dedup_normalized
+SPARK_QUERIES["compression_ratio"] = q_compression_ratio
+
+ORACLE_SQL["dedup_normalized"] = r"""
+WITH tn AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(
+           lower(text), '[^\w\s]|_', ' ', 'g'),
+           '[0-9]+', '0', 'g'),
+           '\s+', ' ', 'g'))) AS dedup_key
+  FROM documents
+)
+SELECT dedup_key, min(doc_id) AS keeper_id, count(*) AS n_docs
+FROM tn GROUP BY dedup_key
+"""
