@@ -501,6 +501,7 @@ def politeness_select(
     frontier: DataFrame,
     host_budget: Optional[int],
     salt_buckets: int = 1,
+    budgets: Optional[DataFrame] = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """Select up to ``host_budget`` URLs per host for this superstep in
     BFS order (depth, discovery_seq); the remainder stays queued.
@@ -509,11 +510,87 @@ def politeness_select(
     rows are pre-limited per salt bucket (budget/S each) before the
     exact per-host window, so no single task sorts a whole mega-host.
     Salting is deterministic (hash of url), preserving reproducibility.
+
+    ``budgets`` (optional): a broadcast-sized (host, budget) table of
+    per-host overrides — the robots Crawl-delay product
+    (policy.crawl_delay_budgets). Hosts absent from it fall back to
+    ``host_budget``; the join is broadcast LEFT OUTER, so the frontier
+    never gains an exchange for it. The salted pre-limit keeps using
+    the GLOBAL budget as its per-bucket bound (a valid over-estimate
+    whenever overrides only tighten; an override LARGER than
+    host_budget is honored exactly too because the pre-limit keeps
+    budget rows per salt bucket, and the exact window below re-ranks
+    every candidate).
     """
-    if host_budget is None:
+    if host_budget is None and budgets is None:
         return frontier, frontier.limit(0)
 
+    from pyspark.sql.functions import broadcast
+
     df = frontier
+    budget_col = F.lit(host_budget).cast("long")
+    if budgets is not None:
+        df = df.join(
+            broadcast(
+                budgets.select(
+                    F.col("host").alias("_bhost"),
+                    F.col("budget").cast("long").alias("_budget_override"),
+                )
+            ),
+            df["host"] == F.col("_bhost"),
+            "left",
+        ).drop("_bhost")
+        budget_col = F.coalesce(F.col("_budget_override"), budget_col)
+        if host_budget is None:
+            # overrides only: hosts without one are unthrottled this
+            # superstep (None -> "no limit" just like the global path)
+            budget_col = F.coalesce(
+                budget_col, F.lit((1 << 62)).cast("long")
+            )
+        prelimit = host_budget if host_budget is not None else (1 << 62)
+    else:
+        prelimit = host_budget
+
+    if salt_buckets > 1 and budgets is not None:
+        # per-bucket pre-limit must bound by the LARGEST budget any
+        # host may have; with overrides present use max(override,
+        # global) per row — still deterministic and still a superset
+        # of what the exact window keeps.
+        prelimit_col = F.greatest(budget_col, F.lit(prelimit).cast("long"))
+        salt_w = Window.partitionBy(
+            F.col("host"), F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+        ).orderBy("depth", "discovery_seq")
+        df = df.withColumn("_srn", F.row_number().over(salt_w)).withColumn(
+            "_b", budget_col
+        )
+        candidates = df.filter(F.col("_srn") <= prelimit_col).drop("_srn")
+        overflow = df.filter(F.col("_srn") > prelimit_col).drop("_srn")
+        w = Window.partitionBy("host").orderBy("depth", "discovery_seq")
+        ranked = candidates.withColumn("_rn", F.row_number().over(w))
+        selected = (
+            ranked.filter(F.col("_rn") <= F.col("_b"))
+            .drop("_rn", "_b", "_budget_override")
+        )
+        deferred = (
+            ranked.filter(F.col("_rn") > F.col("_b"))
+            .drop("_rn", "_b", "_budget_override")
+            .unionByName(overflow.drop("_b", "_budget_override"))
+        )
+        return selected, deferred
+
+    if budgets is not None:
+        w = Window.partitionBy("host").orderBy("depth", "discovery_seq")
+        ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_b", budget_col
+        )
+        selected = ranked.filter(F.col("_rn") <= F.col("_b")).drop(
+            "_rn", "_b", "_budget_override"
+        )
+        deferred = ranked.filter(F.col("_rn") > F.col("_b")).drop(
+            "_rn", "_b", "_budget_override"
+        )
+        return selected, deferred
+
     if salt_buckets > 1:
         # Pre-limit per (host, salt): each bucket keeps at most the
         # full budget, bounding any single task's sort to ~budget rows

@@ -292,3 +292,87 @@ def robots_filter(frontier: DataFrame, robots: Optional[DataFrame]) -> DataFrame
         .select("f.url")
     )
     return frontier.join(disallowed, "url", "left_anti")
+
+
+def parse_crawl_delay(body: Optional[str], agent: str = "*"):
+    """One robots.txt body → the Crawl-delay (seconds, float) that
+    applies to ``agent``, or None. Same group-walk as
+    parse_robots_body (a Crawl-delay line belongs to the user-agent
+    run above it and does not split adjacent groups' rule runs).
+    When several applying groups declare delays, the MAX wins — the
+    conservative read, matching the over-block-is-safe stance the
+    Disallow parser takes. Unparseable values are ignored."""
+    if body is None:
+        return None
+    delay = None
+    group_agents: List[str] = []
+    in_rules = False
+    applies = False
+    for raw in str(body).splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_rules:
+                group_agents, in_rules = [], False
+            group_agents.append(val.lower())
+            applies = any(
+                a == "*" or a == agent or agent.startswith(a)
+                for a in group_agents
+            )
+        elif key in ("disallow", "allow"):
+            in_rules = True
+        elif key == "crawl-delay":
+            in_rules = True
+            if applies:
+                try:
+                    v = float(val)
+                except ValueError:
+                    continue
+                if v >= 0 and (delay is None or v > delay):
+                    delay = v
+    return delay
+
+
+def crawl_delay_budgets(
+    robots_bodies: DataFrame,
+    superstep_seconds: float,
+    host_col: str = "host",
+    body_col: str = "body",
+    agent: str = "*",
+    min_budget: int = 1,
+) -> DataFrame:
+    """robots.txt bodies → a per-host (host, budget) table for
+    politeness_select: budget = how many requests fit in one
+    superstep at the host's declared Crawl-delay
+    (floor(superstep_seconds / delay), never below ``min_budget`` so
+    a host can always make progress). Hosts without a usable
+    Crawl-delay emit NO row — the selection's coalesce falls back to
+    the crawl-wide host_budget. Output is broadcast-sized by
+    construction (one row per delay-declaring host)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    want = agent.lower()
+
+    @pandas_udf(T.DoubleType())
+    def delay_udf(bodies):
+        return bodies.map(lambda b: parse_crawl_delay(b, want))
+
+    with_delay = robots_bodies.select(
+        F.col(host_col).alias("host"), delay_udf(F.col(body_col)).alias("_d")
+    ).filter(F.col("_d").isNotNull())
+    budget = F.when(
+        F.col("_d") <= 0, F.lit(None).cast("long")
+    ).otherwise(
+        F.greatest(
+            F.floor(F.lit(float(superstep_seconds)) / F.col("_d")),
+            F.lit(int(min_budget)),
+        )
+    )
+    return with_delay.select("host", budget.alias("budget")).filter(
+        F.col("budget").isNotNull()
+    )

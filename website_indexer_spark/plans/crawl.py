@@ -493,6 +493,7 @@ def run_crawl(
     policy: Optional[CrawlPolicy] = None,
     robots: Optional[DataFrame] = None,
     host_budget: Optional[int] = None,
+    host_budgets: Optional[DataFrame] = None,
     salt_buckets: int = 1,
     frontier_buckets: Optional[int] = None,
     use_bloom: Optional[bool] = None,
@@ -605,10 +606,21 @@ def run_crawl(
             # in-memory seed wave) the exact window path runs; both
             # produce the identical (depth, discovery_seq)-ordered
             # per-host selection.
-            throttled = host_budget is not None or bool(max_pages)
+            throttled = (
+                host_budget is not None
+                or host_budgets is not None
+                or bool(max_pages)
+            )
             selection_cache = None
+            # per-host Crawl-delay overrides (policy.crawl_delay_budgets)
+            # ride the window path: the bucketed point-read selection
+            # ranks against ONE constant budget per task; a broadcast-
+            # sized override map would need threading into its pandas
+            # stage — documented trade, overrides force the exact
+            # window until then.
             use_bucketed_select = bool(
                 host_budget is not None
+                and host_budgets is None
                 and frontier_files
                 and frontier_count > FRONTIER_SELECT_BUCKETED_MIN
             )
@@ -627,7 +639,8 @@ def run_crawl(
                     ).drop("_selected")
                 else:
                     selected, deferred = politeness_select(
-                        frontier, host_budget, salt_buckets
+                        frontier, host_budget, salt_buckets,
+                        budgets=host_budgets,
                     )
                 # --- max_pages ordered cutoff (A10): reference counts
                 # every requested URL in visit order; the cutoff keeps the
