@@ -159,3 +159,35 @@ def test_crawl_with_robots_budgets_end_to_end(spark, tmp_path):
     )
     assert via_budgets.supersteps > 2
     _assert_equivalent(via_budgets, via_budgets.store, oracle)
+
+
+@pytest.mark.slow
+def test_crawl_budgets_bucketed_path_parity(spark, tmp_path, monkeypatch):
+    """Overrides ride the bucketed point-read selection too: with the
+    bucketed threshold forced on, a crawl whose override (2) is
+    TIGHTER than its global budget (3) must land the same state and
+    the same superstep count as the window path — if the bucketed
+    path ignored the override it would run at 3/host and finish in
+    fewer supersteps."""
+    from tests.conftest import web_dict_to_df
+    from tests.oracle_crawler import crawl as oracle_crawl
+    from tests.test_crawl import _assert_equivalent, _rich_site
+    from website_indexer_spark.functions.urltools import hostname_with_port
+    from website_indexer_spark.plans import crawl as C
+
+    web, seed = _rich_site()
+    oracle = oracle_crawl(web, seed)
+    host = hostname_with_port(seed)
+    budgets = spark.createDataFrame([(host, 2)], ["host", "budget"])
+    web_df = web_dict_to_df(spark, web)
+    window = C.run_crawl(
+        spark, web_df, seed, str(tmp_path / "win"),
+        host_budget=3, host_budgets=budgets,
+    )
+    monkeypatch.setattr(C, "FRONTIER_SELECT_BUCKETED_MIN", 0)
+    bucketed = C.run_crawl(
+        spark, web_df, seed, str(tmp_path / "bkt"),
+        host_budget=3, host_budgets=budgets, frontier_buckets=4,
+    )
+    _assert_equivalent(bucketed, bucketed.store, oracle)
+    assert bucketed.supersteps == window.supersteps

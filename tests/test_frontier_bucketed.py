@@ -189,3 +189,27 @@ def test_crawl_bucketed_frontier_resume(spark, tmp_path, monkeypatch):
         host_budget=2, frontier_buckets=4, resume=True,
     )
     _assert_equivalent(resumed, CrawlStore(spark, out), oracle)
+
+
+def test_bucketed_selection_with_overrides_matches_window(spark, tmp_path):
+    """Per-host Crawl-delay overrides in the bucketed point-read path:
+    dict-closure budgets == broadcast-join budgets, both sides."""
+    frontier = _random_frontier(spark)
+    budgets_df = spark.createDataFrame(
+        [("h1.test", 2), ("h4.test", 11), ("h7.test", 1)],
+        ["host", "budget"],
+    )
+    want_sel, want_def = FR.politeness_select(
+        frontier, 7, budgets=budgets_df
+    )
+    path = str(tmp_path / "snap")
+    _write_bucketed(frontier, path)
+    got = FR.politeness_select_bucketed(
+        spark, _bucket_files(path), 7, FRONTIER_SCHEMA,
+        budgets={"h1.test": 2, "h4.test": 11, "h7.test": 1},
+    ).persist()
+    got_sel = got.filter(F.col("_selected")).drop("_selected")
+    got_def = got.filter(~F.col("_selected")).drop("_selected")
+    assert _key_rows(got_sel) == _key_rows(want_sel)
+    assert _key_rows(got_def) == _key_rows(want_def)
+    got.unpersist()

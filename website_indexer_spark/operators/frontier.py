@@ -623,6 +623,7 @@ def politeness_select_bucketed(
     bucket_files: dict,
     host_budget: int,
     schema,
+    budgets: Optional[dict] = None,
 ) -> DataFrame:
     """politeness_select's storage-partitioned twin for huge queues:
     per-host budget selection WITHOUT shuffling the frontier.
@@ -651,7 +652,15 @@ def politeness_select_bucketed(
     sides and re-derives the bucket column on write (a narrow
     projection — the deferred side keeps its task-per-bucket layout all
     the way into the next snapshot's partitionBy write, so the queue
-    never crosses an exchange on the way back out either)."""
+    never crosses an exchange on the way back out either).
+
+    ``budgets`` (optional): a plain {host: budget} dict of per-host
+    overrides (the Crawl-delay product, broadcast-sized by
+    construction — one entry per delay-declaring host); hosts absent
+    from it use ``host_budget``. The dict rides the cloudpickled
+    closure to every bucket task and the per-host budget becomes a
+    vectorized pandas Series.map — no extra exchange, identical
+    semantics to politeness_select's broadcast override join."""
     files_b = {int(b): list(fs) for b, fs in bucket_files.items()}
     out_schema = T.StructType(
         schema.fields + [T.StructField("_selected", T.BooleanType(), False)]
@@ -677,9 +686,15 @@ def politeness_select_bucketed(
                 df = df.sort_values(
                     ["depth", "discovery_seq"], kind="mergesort", ignore_index=True
                 )
-                df["_selected"] = (
-                    df.groupby("host", sort=False).cumcount() < host_budget
-                )
+                rank = df.groupby("host", sort=False).cumcount()
+                if budgets:
+                    bud = (
+                        df["host"].map(budgets).fillna(host_budget)
+                        .astype("int64")
+                    )
+                    df["_selected"] = rank < bud
+                else:
+                    df["_selected"] = rank < host_budget
                 yield df
 
     ids = spark.createDataFrame(

@@ -2606,3 +2606,47 @@ WITH tn AS (
 SELECT dedup_key, min(doc_id) AS keeper_id, count(*) AS n_docs
 FROM tn GROUP BY dedup_key
 """
+
+
+# --------------------------------------------------------------------
+# Robots Crawl-delay -> per-host politeness budgets
+# (operators/policy.py::parse_crawl_delay / crawl_delay_budgets over
+# synth.robots_from_documents bodies). The Spark side parses real
+# robots.txt text (comments, mixed-case keys, Sitemap lines inside a
+# group, multi-group max-wins, unparseable and zero values); the
+# oracle recomputes only the expected (host, delay) arithmetic —
+# greatest(floor(superstep/delay), 1) — from the same h-case map, so
+# a parser regression on ANY of the seven grammar cases flips the
+# hash.
+# --------------------------------------------------------------------
+
+
+def q_crawl_delay_budgets(spark, sf):
+    """robots.txt Crawl-delay parsing -> (host, budget) politeness
+    override table at superstep_seconds=30 (A11/A12; the broadcast
+    override input of frontier.politeness_select)."""
+    from website_indexer_spark.operators.policy import crawl_delay_budgets
+    from website_indexer_spark.sources.synth import robots_from_documents
+
+    bodies = robots_from_documents(_t(spark, sf, "documents"))
+    return crawl_delay_budgets(bodies, superstep_seconds=30)
+
+
+SPARK_QUERIES["crawl_delay_budgets"] = q_crawl_delay_budgets
+
+ORACLE_SQL["crawl_delay_budgets"] = r"""
+WITH hosts AS (
+  SELECT DISTINCT
+    source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+    CAST(doc_id % 7 AS INT) AS hmod
+  FROM documents
+), d AS (
+  SELECT host,
+    CASE hmod WHEN 1 THEN 0.5 WHEN 2 THEN 2.0
+              WHEN 3 THEN 10.0 WHEN 6 THEN 9999.0 END AS delay
+  FROM hosts WHERE hmod IN (1, 2, 3, 6)
+)
+SELECT host,
+       CAST(greatest(floor(30.0 / delay), 1) AS BIGINT) AS budget
+FROM d
+"""

@@ -586,6 +586,18 @@ def run_crawl(
     seen_bucketed_ok = store.bucketed_path_available("seen")
     dims_bucketed_ok = store.bucketed_path_available("dims")
 
+    # Per-host Crawl-delay overrides, collected ONCE per run: the
+    # table is broadcast-sized by construction (one row per
+    # delay-declaring host, policy.crawl_delay_budgets), and the
+    # bucketed point-read selection needs it as a plain dict in its
+    # task closure. The window path keeps using the DataFrame form
+    # (broadcast LEFT OUTER join) — identical semantics.
+    host_budget_map: Optional[dict] = None
+    if host_budgets is not None:
+        host_budget_map = {
+            r["host"]: int(r["budget"]) for r in host_budgets.collect()
+        }
+
     bloom: Optional[StripedBloom] = None
     try:
         while k < max_supersteps:
@@ -613,14 +625,12 @@ def run_crawl(
             )
             selection_cache = None
             # per-host Crawl-delay overrides (policy.crawl_delay_budgets)
-            # ride the window path: the bucketed point-read selection
-            # ranks against ONE constant budget per task; a broadcast-
-            # sized override map would need threading into its pandas
-            # stage — documented trade, overrides force the exact
-            # window until then.
+            # ride BOTH selection paths: the window path as a broadcast
+            # LEFT OUTER join, the bucketed point-read path as the
+            # host_budget_map dict in its task closure (collected once
+            # per run above).
             use_bucketed_select = bool(
                 host_budget is not None
-                and host_budgets is None
                 and frontier_files
                 and frontier_count > FRONTIER_SELECT_BUCKETED_MIN
             )
@@ -629,7 +639,8 @@ def run_crawl(
             if throttled:
                 if use_bucketed_select:
                     selection_cache = politeness_select_bucketed(
-                        spark, frontier_files, host_budget, FRONTIER_SCHEMA
+                        spark, frontier_files, host_budget, FRONTIER_SCHEMA,
+                        budgets=host_budget_map,
                     ).persist()
                     selected = selection_cache.filter(
                         F.col("_selected")

@@ -534,3 +534,52 @@ def sitemaps_from_documents(docs: DataFrame) -> DataFrame:
         )
     )
     return per_source.unionAll(index)
+
+
+def robots_from_documents(docs: DataFrame) -> DataFrame:
+    """(host, body) — one deterministic robots.txt body per derived
+    host (the lowercase ``source-h.example.com`` hosts of
+    urls_from_documents, h = doc_id % 7). The seven h-cases cover the
+    Crawl-delay grammar end-to-end: no delay line (0), fractional
+    delay + mixed-case key + comment (1), Sitemap line inside the
+    group (2), multi-group max-wins with a non-applying agent (3),
+    unparseable value (4), zero delay (5), and a delay so large the
+    min_budget floor binds (6). The DuckDB oracle mirrors only the
+    (host, expected-delay) arithmetic — the Spark side must actually
+    parse these bodies (policy.parse_crawl_delay), so the gate pins
+    parser + budget arithmetic together."""
+    from pyspark.sql import functions as F
+
+    hosts = (
+        docs.select(
+            F.concat(
+                F.col("source"), F.lit("-"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            (F.col("doc_id") % 7).cast("int").alias("hmod"),
+        )
+        .distinct()
+    )
+    h = F.col("hmod")
+    host = F.col("host")
+    body = (
+        F.when(h == 0, F.lit("User-agent: *\nDisallow: /tmp\n"))
+        .when(h == 1, F.concat(
+            F.lit("# robots for "), host,
+            F.lit("\nUser-agent: *\nCrawl-Delay: 0.5\nDisallow: /x\n"),
+        ))
+        .when(h == 2, F.concat(
+            F.lit("User-agent: *\nSitemap: https://"), host,
+            F.lit("/sitemap.xml\nCrawl-delay: 2\n"),
+        ))
+        .when(h == 3, F.lit(
+            "User-agent: *\nCrawl-delay: 4\n\n"
+            "User-agent: specialbot\nCrawl-delay: 20\n\n"
+            "User-agent: *\nCrawl-delay: 10\n"
+        ))
+        .when(h == 4, F.lit("User-agent: *\nCrawl-delay: soon\n"))
+        .when(h == 5, F.lit("User-agent: *\nCrawl-delay: 0\n"))
+        .otherwise(F.lit("User-agent: *\nCrawl-delay: 9999\n"))
+    )
+    return hosts.select("host", body.alias("body"))
