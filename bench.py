@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "paragraph_dedup_snapshot",
     "url_filter",
     "cdx_index",
+    "wat_roundtrip",
+    "crawl_delay_budgets",
     "pii_scrub",
     "topk_terms",
     "decontam_report",

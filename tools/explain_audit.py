@@ -427,6 +427,32 @@ CHECKS = {
         ("never cartesian",
          lambda p: "CartesianProduct" not in p),
     ],
+    "crawl_delay_budgets": [
+        ("the robots parse is ONE Arrow-batched vectorized UDF, "
+         "never row-at-a-time Python",
+         lambda p: "ArrowEvalPython" in p
+         and "BatchEvalPython" not in p),
+        ("the parse runs ONCE, ABOVE the host distinct "
+         "(nondeterministic barrier blocks the filter pushdown): "
+         "a single Arrow stage sits over the aggregate, never below "
+         "the exchange and never duplicated per input row",
+         lambda p: (lambda tree: tree.count("ArrowEvalPython") == 1
+                    and "Exchange" in tree
+                    and tree.index("ArrowEvalPython")
+                    < tree.index("Exchange"))(p.split("\n\n")[0])),
+        ("never cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "wat_roundtrip": [
+        ("read side is file-parallel (one MapInPandas task per "
+         "shard; gzip members are not splittable)",
+         lambda p: "MapInPandas" in p),
+        ("no exchange after the parse — decode + projection stay "
+         "in the file task",
+         lambda p: "Exchange" not in p.split("MapInPandas", 1)[0]),
+        ("never cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 

@@ -362,6 +362,16 @@ def crawl_delay_budgets(
     def delay_udf(bodies):
         return bodies.map(lambda b: parse_crawl_delay(b, want))
 
+    # The parser IS deterministic, but the nondeterministic mark is a
+    # deliberate optimizer barrier: without it Catalyst pushes the
+    # `_d IS NOT NULL` filter through an upstream distinct whenever
+    # the body column derives from the grouping keys (the gate's
+    # synthetic derivation does), evaluating the Python parse once
+    # PER INPUT ROW — per document at 100 TB — and then a second time
+    # above the aggregate. Barriered, the parse runs exactly once per
+    # host row.
+    delay_udf = delay_udf.asNondeterministic()
+
     with_delay = robots_bodies.select(
         F.col(host_col).alias("host"), delay_udf(F.col(body_col)).alias("_d")
     ).filter(F.col("_d").isNotNull())

@@ -2650,3 +2650,87 @@ SELECT host,
        CAST(greatest(floor(30.0 / delay), 1) AS BIGINT) AS budget
 FROM d
 """
+
+
+# --------------------------------------------------------------------
+# WAT round trip (sources/wat.py): per-capture metadata envelopes
+# (title + out-links, the link-graph interchange form) published as
+# WAT metadata shards and read back with the shared WARC grammar.
+# The oracle reconstructs title / link multiset / link order from the
+# same deterministic derivations (urls + linkgraph CTEs), so the gate
+# pins JSON envelope framing, utf-8 round trip, and link ordering.
+# --------------------------------------------------------------------
+
+
+def q_wat_roundtrip(spark, sf):
+    """Common Crawl WAT format round trip: pages + out-link urls →
+    write_wat (one task per shard, warcinfo-led multi-member gzip) →
+    read_wat (one task per file) → decoded metadata rows."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from website_indexer_spark.sources.synth import (
+        links_from_documents,
+        pages_from_documents,
+        urls_from_documents,
+    )
+    from website_indexer_spark.sources.wat import read_wat, write_wat
+
+    docs = _t(spark, sf, "documents")
+    pages = pages_from_documents(docs).filter(F.col("status_code") == 200)
+    dst_urls = urls_from_documents(docs).select(
+        F.col("doc_id").alias("dst"), F.col("url").alias("dst_url")
+    )
+    edges = links_from_documents(docs, docs.count())
+    out_links = (
+        edges.join(dst_urls, "dst")
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst_url")).alias("links"))
+    )
+    wat_in = (
+        pages.join(out_links, pages["doc_id"] == out_links["src"], "left")
+        .select(
+            "url",
+            "warc_ts",
+            F.concat(
+                F.lit("Document "), F.col("doc_id").cast("string")
+            ).alias("title"),
+            F.coalesce(
+                F.col("links"), F.array().cast("array<string>")
+            ).alias("links"),
+        )
+    )
+    tag = hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:10]
+    out_dir = _os.path.join(tempfile.gettempdir(), f"wi_spark_wat_gate_{tag}")
+    write_wat(wat_in, out_dir, shards=4)
+    back = read_wat(spark, out_dir + "/part-*")
+    return back.select(
+        "url",
+        F.col("wat_ts").cast("long").alias("wat_epoch"),
+        "title",
+        F.size("links").cast("long").alias("n_links"),
+        F.array_join("links", "|").alias("links_joined"),
+    )
+
+
+SPARK_QUERIES["wat_roundtrip"] = q_wat_roundtrip
+
+ORACLE_SQL["wat_roundtrip"] = (
+    "WITH " + _URLS_CTE + ", " + _LINKGRAPH_CTE + r""", wat_lnk AS (
+  SELECT e.src, u.url AS dst_url
+  FROM pr_e e JOIN u ON u.doc_id = e.dst
+), wat_agg AS (
+  SELECT src, count(*) AS n_links,
+         string_agg(dst_url, '|' ORDER BY dst_url) AS links_joined
+  FROM wat_lnk GROUP BY src
+)
+SELECT u.url,
+       CAST(1735689600 + u.doc_id * 37 AS BIGINT) AS wat_epoch,
+       'Document ' || CAST(u.doc_id AS VARCHAR) AS title,
+       CAST(coalesce(a.n_links, 0) AS BIGINT) AS n_links,
+       coalesce(a.links_joined, '') AS links_joined
+FROM u LEFT JOIN wat_agg a ON a.src = u.doc_id
+WHERE u.doc_id % 19 <> 0
+"""
+)
