@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "paragraph_dedup_snapshot",
     "url_filter",
     "cdx_index",
+    "cdx_collapse",
+    "cdx_latest",
+    "robots_sitemaps",
     "wat_roundtrip",
     "crawl_delay_budgets",
     "pii_scrub",

@@ -102,3 +102,82 @@ def test_entries_plan_is_narrow(spark, sm):
     p = sitemap_entries(sm)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
     assert "Python" not in p
+
+
+# ---------------------------------------------------------------- robots
+# Sitemap: discovery (operators/policy.py::robots_sitemaps) — the
+# producer that feeds this source's fetch loop.
+
+ROBOTS_MULTI = (
+    "# preamble comment\r\n"
+    "User-agent: *\r\n"
+    "Disallow: /tmp\r\n"
+    "SITEMAP: https://r.test/sitemap-A.xml\r\n"
+    "\r\n"
+    "User-agent: special\r\n"
+    "  sitemap:\thttps://r.test/sitemap-B.xml # trailing comment\r\n"
+    "Sitemap: https://r.test/sitemap-A.xml\r\n"
+)
+ROBOTS_NONE = "User-agent: *\nDisallow: /private\n"
+ROBOTS_TRAP = (
+    "Disallow: Sitemap: https://bad.test/not-a-directive.xml\n"
+    "Sitemap:\n"
+)
+
+
+def test_robots_sitemaps_grammar(spark):
+    from website_indexer_spark.operators.policy import robots_sitemaps
+
+    bodies = spark.createDataFrame(
+        [
+            ("r.test", ROBOTS_MULTI),
+            ("none.test", ROBOTS_NONE),
+            ("trap.test", ROBOTS_TRAP),
+        ],
+        "host string, body string",
+    )
+    got = {
+        (r.host, r.sitemap_url)
+        for r in robots_sitemaps(bodies).collect()
+    }
+    # case-insensitive key, leading whitespace, tab separator, CRLF,
+    # trailing comment stripped, duplicate collapsed by the distinct;
+    # mid-line 'Sitemap:' inside a Disallow value and a value-less
+    # directive both produce nothing
+    assert got == {
+        ("r.test", "https://r.test/sitemap-A.xml"),
+        ("r.test", "https://r.test/sitemap-B.xml"),
+    }
+
+
+def test_robots_sitemaps_is_native(spark):
+    from website_indexer_spark.operators.policy import robots_sitemaps
+
+    bodies = spark.createDataFrame(
+        [("h.test", ROBOTS_MULTI)], "host string, body string"
+    )
+    plan = robots_sitemaps(bodies)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no Python anywhere in the plan
+
+
+def test_robots_sitemaps_feeds_seed_loop(spark):
+    """Discovery -> fetched XML -> seeds: the composed bootstrap."""
+    from website_indexer_spark.operators.policy import robots_sitemaps
+
+    bodies = spark.createDataFrame(
+        [("a.test", "Sitemap: https://a.test/sitemap.xml\n")],
+        "host string, body string",
+    )
+    discovered = robots_sitemaps(bodies)
+    fetched = discovered.join(
+        spark.createDataFrame(
+            [("https://a.test/sitemap.xml", URLSET)],
+            "sitemap_url string, xml string",
+        ),
+        "sitemap_url",
+    )
+    seeds = seeds_from_sitemaps(
+        fetched, xml_col="xml", source_col="sitemap_url"
+    )
+    urls = {r.url for r in seeds.filter(F.col("kind") == "url").collect()}
+    assert "https://a.test/plain" in urls and len(urls) == 3

@@ -377,3 +377,82 @@ def test_paragraph_dedup_snapshot_plans(spark, tmp_path):
     )
     assert "snap_lines2" not in plan2
     assert "ArrowEvalPython" in plan2 or "MapInPandas" in plan2
+
+
+# ------------------------------------------------------- collapse/latest
+
+
+def _capture_history(spark):
+    """Hand-built capture index: one surt with a digest run, one
+    without, plus a single-capture surt."""
+    rows = [
+        # (surt, ts14, url, mime, status, digest, length)
+        ("test,a)/p", "20240101000000", "http://a.test/p", "text/html", 200, "d1", 10),
+        ("test,a)/p", "20240102000000", "http://a.test/p", "text/html", 200, "d1", 10),
+        ("test,a)/p", "20240103000000", "http://a.test/p", "text/html", 200, "d2", 11),
+        ("test,a)/p", "20240104000000", "http://a.test/p", "text/html", 200, "d2", 11),
+        ("test,a)/p", "20240105000000", "http://a.test/p", "text/html", 200, "d1", 10),
+        ("test,b)/q", "20240101000000", "http://b.test/q", "text/html", 200, "x1", 5),
+        ("test,b)/q", "20240102000000", "http://b.test/q", "text/html", 200, "x2", 6),
+        ("test,c)/r", "20240107000000", "http://c.test/r", "text/html", 200, "z9", 7),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "surt string, ts14 string, url string, mime string, "
+        "status_code int, digest string, length long",
+    )
+
+
+def test_cdx_collapse_semantics(spark):
+    from website_indexer_spark.sources.cdx import cdx_collapse
+
+    kept = {
+        (r.surt, r.ts14)
+        for r in cdx_collapse(_capture_history(spark)).collect()
+    }
+    # runs collapse to their first capture; the d2->d1 flip back on
+    # day 5 is a CHANGE and is kept (version history preserved)
+    assert kept == {
+        ("test,a)/p", "20240101000000"),
+        ("test,a)/p", "20240103000000"),
+        ("test,a)/p", "20240105000000"),
+        ("test,b)/q", "20240101000000"),
+        ("test,b)/q", "20240102000000"),
+        ("test,c)/r", "20240107000000"),
+    }
+
+
+def test_cdx_collapse_idempotent(spark):
+    from website_indexer_spark.sources.cdx import cdx_collapse
+
+    once = cdx_collapse(_capture_history(spark))
+    twice = cdx_collapse(once)
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_cdx_latest_semantics(spark):
+    from website_indexer_spark.sources.cdx import cdx_latest
+
+    got = {
+        (r.surt, r.ts14, r.digest)
+        for r in cdx_latest(_capture_history(spark)).collect()
+    }
+    assert got == {
+        ("test,a)/p", "20240105000000", "d1"),
+        ("test,b)/q", "20240102000000", "x2"),
+        ("test,c)/r", "20240107000000", "z9"),
+    }
+
+
+def test_cdx_collapse_latest_plans(spark):
+    """One exchange each; cdx_latest's rank-1 folds into
+    WindowGroupLimit (map-side partial top-1 before the shuffle)."""
+    from website_indexer_spark.sources.cdx import cdx_collapse, cdx_latest
+
+    hist = _capture_history(spark)
+    p1 = cdx_collapse(hist)._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("Exchange") == 1 and "EvalPython" not in p1
+    p2 = cdx_latest(hist)._jdf.queryExecution().executedPlan().toString()
+    assert p2.count("Exchange") == 1 and "WindowGroupLimit" in p2

@@ -443,6 +443,39 @@ CHECKS = {
         ("never cartesian",
          lambda p: "CartesianProduct" not in p),
     ],
+    "cdx_collapse": [
+        ("ONE shuffle exchange (keyed by surt) feeds the in-partition "
+         "lag() window — the collapse adds no second shuffle (the "
+         "derivation's doc_id join is broadcast)",
+         lambda p: p.count("hashpartitioning") == 1
+         and "Window" in p and "BroadcastHashJoin" in p),
+        ("native expressions only — no Python",
+         lambda p: "EvalPython" not in p),
+        ("never cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "cdx_latest": [
+        ("the rank-1 predicate folds into WindowGroupLimit: partial "
+         "top-1 runs map-side BEFORE the exchange, so the shuffle "
+         "carries one candidate per (surt, input partition), not the "
+         "full capture history",
+         lambda p: "WindowGroupLimit" in p),
+        ("native expressions only — no Python",
+         lambda p: "EvalPython" not in p),
+        ("never cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "robots_sitemaps": [
+        ("Sitemap extraction is ONE native multiline regexp fused "
+         "into the scan projection — no Python, no group-state UDF",
+         lambda p: "EvalPython" not in p),
+        ("two partial-aggregated shuffles only: the synthetic host "
+         "derivation's distinct and the closing distinct — both "
+         "map-side combined",
+         lambda p: p.count("hashpartitioning") <= 2),
+        ("never cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
     "wat_roundtrip": [
         ("read side is file-parallel (one MapInPandas task per "
          "shard; gzip members are not splittable)",

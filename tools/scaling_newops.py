@@ -27,7 +27,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def build_fat_corpus(repl: int) -> str:
     out = f"/tmp/wi_fat_docs_x{repl}"
-    if os.path.exists(out + "/_SUCCESS"):
+    # _emb is the last artifact written — its marker means all six
+    # corpora (docs/_web/_pages/_edges/_anchors/_emb) are complete
+    if os.path.exists(out + "_emb/_SUCCESS"):
         return out
     from pyspark.sql import functions as F
 
@@ -57,6 +59,43 @@ def build_fat_corpus(repl: int) -> str:
     pages_from_documents(fat2).repartition(8).write.mode(
         "overwrite"
     ).parquet(out + "_pages")
+    # batch-IV derived corpora: the synthetic link graph (edges) and
+    # the (dst, anchor) pairs the anchor-text aggregation consumes —
+    # materialized so the narrow derivations are not part of the
+    # measured operators (same rule as _web/_pages above)
+    from website_indexer_spark.functions.textstats import tokens as _toks
+    from website_indexer_spark.sources.synth import links_from_documents
+
+    n_docs = fat2.count()
+    edges = links_from_documents(fat2, n_docs)
+    edges.repartition(8).write.mode("overwrite").parquet(out + "_edges")
+    toked = fat2.select(
+        F.col("doc_id").alias("dst"), _toks(F.col("text")).alias("_t")
+    )
+    linked = (
+        spark.read.parquet(out + "_edges")
+        .join(toked, "dst")
+        .select(
+            "dst",
+            F.array_join(
+                F.slice(
+                    F.col("_t"), (F.col("src") % 3).cast("int") + 1, 2
+                ),
+                " ",
+            ).alias("anchor"),
+        )
+    )
+    linked.repartition(8).write.mode("overwrite").parquet(out + "_anchors")
+    # fat embeddings for semdedup: same replicate-and-rekey shape
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    fat_emb = (
+        emb.crossJoin(
+            F.broadcast(spark.range(repl).select(F.col("id").alias("_r")))
+        )
+        .withColumn("vec_id", F.col("vec_id") * repl + F.col("_r"))
+        .drop("_r")
+    )
+    fat_emb.repartition(8).write.mode("overwrite").parquet(out + "_emb")
     spark.stop()
     return out
 
@@ -110,6 +149,55 @@ def run_level(cpus: int, fat_dir: str) -> dict:
             "paragraph_dedup": lambda: dedup_paragraphs(web),
             "url_filter": lambda: url_quality_filter(pages),
             "cdx_index": lambda: cdx_index(pages),
+        }
+    )
+    # batch IV: the post-SemDeDup operator wave. Inputs are the
+    # materialized derived corpora (edges / anchors / embeddings) so
+    # each measurement is the operator, not its derivation.
+    from website_indexer_spark.functions import gopherquality as gq
+    from website_indexer_spark.functions.textnorm import (
+        with_compression_ratio,
+        with_dedup_key,
+    )
+    from website_indexer_spark.operators import linkgraph, similarity
+    from website_indexer_spark.operators.anchortext import anchor_text_agg
+    from website_indexer_spark.plans.catalog import (
+        GOPHER_GATE_STOPWORDS,
+        GOPHER_GATE_THRESHOLDS,
+    )
+
+    edges = spark.read.parquet(fat_dir + "_edges")
+    anchors = spark.read.parquet(fat_dir + "_anchors")
+    emb = spark.read.parquet(fat_dir + "_emb")
+    nodes = docs.select("doc_id")
+    ops.update(
+        {
+            "gopher_filter": lambda: gq.gopher_quality_filter(
+                docs,
+                stopwords=GOPHER_GATE_STOPWORDS,
+                **GOPHER_GATE_THRESHOLDS,
+            ).select("doc_id", "source"),
+            "dedup_normalized": lambda: with_dedup_key(docs)
+            .groupBy("dedup_key")
+            .agg(
+                F.min("doc_id").alias("keeper_id"),
+                F.count("*").alias("n_docs"),
+            ),
+            "compression_ratio": lambda: with_compression_ratio(
+                docs.select("doc_id", "text")
+            ).select("doc_id", "compression_ratio"),
+            "anchor_text": lambda: anchor_text_agg(
+                anchors, target_col="dst", anchor_col="anchor"
+            ),
+            # 5 rounds, the gate's setting; edge list already on disk
+            "pagerank": lambda: linkgraph.pagerank_exact(
+                nodes, edges, rounds=5, node_col="doc_id"
+            ),
+            # k sized ~sqrt(N) per the semdedup docstring so cells
+            # stay under max_cluster without forced sub-splits
+            "semdedup": lambda: similarity.semdedup(
+                emb, n_centroids=64, threshold=0.92
+            ),
         }
     )
     only = os.environ.get("SCALE_OPS")

@@ -386,3 +386,36 @@ def crawl_delay_budgets(
     return with_delay.select("host", budget.alias("budget")).filter(
         F.col("budget").isNotNull()
     )
+
+
+def robots_sitemaps(
+    robots_bodies: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """``Sitemap:`` directive URLs per host → (host, sitemap_url).
+
+    RFC 9309 §2.3 makes Sitemap a non-group directive — it applies
+    regardless of user-agent groups, so no group-state machine is
+    needed and the extraction is ONE native multiline regexp over the
+    body (fuses into the scan projection; zero Python, zero exchanges
+    before the closing distinct). The reference's robots handling
+    lives in wpull (it runs --no-robots); this producer is the
+    discovery half of the sitemap bootstrap: its output joins the
+    fetched XML into `sources/sitemap.py::seeds_from_sitemaps`.
+
+    Comment handling per the RFC: a ``#`` ends the line's value, and
+    the URL token stops at whitespace.
+    """
+    urls = F.regexp_extract_all(
+        F.col(body_col),
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\s]+)"),
+        F.lit(1),
+    )
+    return (
+        robots_bodies.select(
+            F.col(host_col).alias("host"),
+            F.explode(urls).alias("sitemap_url"),
+        )
+        .distinct()
+    )

@@ -2734,3 +2734,149 @@ FROM u LEFT JOIN wat_agg a ON a.src = u.doc_id
 WHERE u.doc_id % 19 <> 0
 """
 )
+
+
+# --------------------------------------------------------------------
+# CDX digest-collapse + latest-capture (sources/cdx.py) and robots
+# Sitemap discovery (operators/policy.py::robots_sitemaps). The CDX
+# gates run over a deterministic 4-snapshot capture history so the
+# collapse actually has runs to collapse: even doc_ids change content
+# at snapshot 2 only (runs [0,1][2,3] -> keep snaps 0 and 2), odd
+# doc_ids change every snapshot (all four kept).
+# --------------------------------------------------------------------
+
+from website_indexer_spark.sources.synth import DOC_PAGES_EPOCH  # noqa: E402
+
+
+def _multi_captures(spark, sf):
+    """web_pages-shaped 4-snapshot capture history per derived URL."""
+    docs = _t(spark, sf, "documents")
+    u = urls_from_documents(docs).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    caps = u.select(
+        "doc_id",
+        "url",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("snap"),
+    )
+    doc, sn = F.col("doc_id"), F.col("snap")
+    ver = F.when(doc % 2 == 0, F.floor(sn / 2)).otherwise(sn).cast("int")
+    return caps.select(
+        "url",
+        F.timestamp_seconds(
+            F.lit(DOC_PAGES_EPOCH) + doc * 37 + sn * 1_000_000
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.col("text"), F.lit("#"), ver.cast("string")), "UTF-8"
+        ).alias("html"),
+        F.lit(200).alias("status_code"),
+        F.lit("text/html").alias("content_type"),
+    )
+
+
+def q_cdx_collapse(spark, sf):
+    """pywb collapse=digest over the snapshot history: one exchange
+    keyed by surt, lag() in-partition, runs of unchanged digests
+    collapse to their first capture."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _cdx.cdx_collapse(_cdx.cdx_index(_multi_captures(spark, sf)))
+
+
+def q_cdx_latest(spark, sf):
+    """Latest capture per surt (wayback most-recent-snapshot):
+    row_number over (surt, ts14 desc) folded into WindowGroupLimit —
+    map-side partial top-1 before the exchange."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _cdx.cdx_latest(_cdx.cdx_index(_multi_captures(spark, sf)))
+
+
+def q_robots_sitemaps(spark, sf):
+    """Sitemap: directive discovery from robots bodies — one native
+    multiline regexp, no group-state machine (RFC 9309 §2.3: Sitemap
+    is a non-group directive)."""
+    from website_indexer_spark.operators.policy import robots_sitemaps
+    from website_indexer_spark.sources.synth import robots_from_documents
+
+    bodies = robots_from_documents(_t(spark, sf, "documents"))
+    return robots_sitemaps(bodies)
+
+
+SPARK_QUERIES["cdx_collapse"] = q_cdx_collapse
+SPARK_QUERIES["cdx_latest"] = q_cdx_latest
+SPARK_QUERIES["robots_sitemaps"] = q_robots_sitemaps
+
+# Shared capture-history -> cdx-rows CTE chain (mirrors the
+# ORACLE_SQL["cdx_index"] surt arithmetic over the snapshot capture
+# table instead of the single-capture pages derivation).
+_CAPS_CDX_CTE = r"""caps AS (
+  SELECT u.doc_id, u.url,
+         1735689600 + u.doc_id * 37 + s.snap * 1000000 AS epoch,
+         d.text || '#' || CAST(CASE WHEN u.doc_id % 2 = 0
+                THEN s.snap // 2 ELSE s.snap END AS VARCHAR) AS content
+  FROM u JOIN documents d USING (doc_id)
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS snap) s
+), cs AS (
+  SELECT doc_id, url, epoch, content,
+    lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)?([^/?#]*)', 2)) AS auth,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)) AS lpath,
+    regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM caps
+), cs2 AS (
+  SELECT doc_id, url, epoch, content, scheme, lpath, q,
+    CASE WHEN starts_with(regexp_extract(auth, '^([^:]*)', 1), 'www.')
+         THEN substr(regexp_extract(auth, '^([^:]*)', 1), 5)
+         ELSE regexp_extract(auth, '^([^:]*)', 1) END AS host,
+    regexp_extract(auth, ':(\d+)$', 1) AS port
+  FROM cs
+), cidx AS (
+  SELECT
+    array_to_string(list_reverse(string_split(host, '.')), ',')
+    || (CASE WHEN port = '' OR port = (CASE WHEN scheme = 'http' THEN '80'
+              WHEN scheme = 'https' THEN '443' ELSE '' END)
+        THEN '' ELSE ':' || port END)
+    || ')'
+    || (CASE WHEN lpath = '' THEN '/' ELSE lpath END)
+    || (CASE WHEN q = '' THEN ''
+        ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END)
+      AS surt,
+    strftime(make_timestamp(epoch * 1000000), '%Y%m%d%H%M%S') AS ts14,
+    url, 'text/html' AS mime, 200 AS status_code,
+    md5(content) AS digest,
+    CAST(octet_length(encode(content)) AS BIGINT) AS length
+  FROM cs2
+)"""
+
+ORACLE_SQL["cdx_collapse"] = (
+    "WITH " + _URLS_CTE + ", " + _CAPS_CDX_CTE + r""", lagd AS (
+  SELECT *, lag(digest) OVER (PARTITION BY surt ORDER BY ts14) AS prev
+  FROM cidx
+)
+SELECT surt, ts14, url, mime, status_code, digest, length
+FROM lagd WHERE prev IS NULL OR prev <> digest
+"""
+)
+
+ORACLE_SQL["cdx_latest"] = (
+    "WITH " + _URLS_CTE + ", " + _CAPS_CDX_CTE + r""", rn AS (
+  SELECT *, row_number() OVER (PARTITION BY surt ORDER BY ts14 DESC) AS r
+  FROM cidx
+)
+SELECT surt, ts14, url, mime, status_code, digest, length
+FROM rn WHERE r = 1
+"""
+)
+
+ORACLE_SQL["robots_sitemaps"] = r"""
+WITH hosts AS (
+  SELECT DISTINCT
+    source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+    doc_id % 7 AS hmod
+  FROM documents
+)
+SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url
+FROM hosts WHERE hmod = 2
+"""

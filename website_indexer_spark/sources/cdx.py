@@ -133,3 +133,46 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
         parsed.getField("digest").alias("digest"),
         parsed.getField("length").cast("long").alias("length"),
     )
+
+
+def cdx_collapse(index: DataFrame) -> DataFrame:
+    """Digest-collapse an index (pywb ``collapse=digest`` / Common
+    Crawl dedup semantics): within each surt, in capture-time order,
+    keep a row only when its digest differs from the immediately
+    previous capture's — a run of unchanged content collapses to its
+    first capture, and every content *change* is kept, so the
+    collapsed index still reconstructs the page's full version
+    history.
+
+    Scale shape: ONE exchange keyed by surt, then lag() inside the
+    partition — no Python, no second shuffle; per-surt capture counts
+    are revisit-bounded (a crawl revisits a URL a few hundred times a
+    year), so no in-partition skew at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surt").orderBy("ts14")
+    prev = F.lag("digest").over(w)
+    return (
+        index.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("digest")))
+        .drop("_prev")
+    )
+
+
+def cdx_latest(index: DataFrame) -> DataFrame:
+    """Latest capture per surt (the wayback "most recent snapshot"
+    query): row_number()==1 over (surt, ts14 desc). Spark folds the
+    rank-1 predicate into WindowGroupLimit, which drops non-candidate
+    rows BEFORE the exchange (map-side partial top-1) — so the
+    shuffle carries one row per (surt, input partition), not the full
+    capture history.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surt").orderBy(F.col("ts14").desc())
+    return (
+        index.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
