@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "paragraph_dedup_snapshot",
     "url_filter",
     "cdx_index",
+    "frontier_topk",
     "cdx_collapse",
     "cdx_latest",
     "robots_sitemaps",

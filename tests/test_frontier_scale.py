@@ -245,3 +245,72 @@ def test_dims_huge_wave_and_big_history_paths(spark, tmp_path, monkeypatch):
 
     assert got_shuffled == want
     assert got_streamed == want
+
+
+# ------------------------------------------------- frontier_prioritize
+
+
+def _prio_frontier(spark):
+    rows = [
+        # url, depth, discovery_seq
+        ("http://h.test/a", 0, 1),
+        ("http://h.test/b", 1, 2),
+        ("http://h.test/c", 1, 3),
+        ("http://h.test/d", 2, 4),
+        ("http://h.test/e", 0, 5),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, depth int, discovery_seq long"
+    )
+
+
+def test_frontier_prioritize_semantics(spark):
+    scores = spark.createDataFrame(
+        [
+            ("http://h.test/d", 0.9),
+            ("http://h.test/b", 0.5),
+            ("http://h.test/c", 0.5),  # tie with b -> BFS order wins
+            # a and e unscored -> default 0.0, BFS order between them
+        ],
+        "url string, score double",
+    )
+    got = [
+        r.url
+        for r in FR.frontier_prioritize(
+            _prio_frontier(spark), scores, k=4
+        ).collect()
+    ]
+    assert got == [
+        "http://h.test/d",  # 0.9
+        "http://h.test/b",  # 0.5, depth 1 seq 2
+        "http://h.test/c",  # 0.5, depth 1 seq 3
+        "http://h.test/a",  # 0.0, depth 0 seq 1 beats e (seq 5)
+    ]
+
+
+def test_frontier_prioritize_default_score_and_k(spark):
+    empty_scores = spark.createDataFrame([], "url string, score double")
+    got = [
+        r.url
+        for r in FR.frontier_prioritize(
+            _prio_frontier(spark), empty_scores, k=2, default_score=1.0
+        ).collect()
+    ]
+    # all-equal scores -> pure BFS (depth, seq) order
+    assert got == ["http://h.test/a", "http://h.test/e"]
+
+
+def test_frontier_prioritize_plan_is_take_ordered(spark):
+    scores = spark.createDataFrame(
+        [("http://h.test/d", 0.9)], "url string, score double"
+    )
+    plan = (
+        FR.frontier_prioritize(_prio_frontier(spark), scores, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # global top-k must be TakeOrderedAndProject (map-side heaps),
+    # never a global Sort + Limit
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

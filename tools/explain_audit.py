@@ -443,6 +443,16 @@ CHECKS = {
         ("never cartesian",
          lambda p: "CartesianProduct" not in p),
     ],
+    "frontier_topk": [
+        ("global top-k is TakeOrderedAndProject — map-side top-k "
+         "heaps, never a global Sort+Limit",
+         lambda p: "TakeOrderedAndProject" in p
+         and "Sort " not in p.split("TakeOrderedAndProject")[0]),
+        ("score join is a plain equi-join, never cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("no Python in the plan",
+         lambda p: "EvalPython" not in p),
+    ],
     "cdx_collapse": [
         ("ONE shuffle exchange (keyed by surt) feeds the in-partition "
          "lag() window — the collapse adds no second shuffle (the "

@@ -771,3 +771,54 @@ def assign_ordered_seq(
             yield pdf
 
     return parts.mapInPandas(number, schema)
+
+
+def frontier_prioritize(
+    frontier: DataFrame,
+    scores: DataFrame,
+    k: int,
+    url_col: str = "url",
+    score_col: str = "score",
+    default_score: float = 0.0,
+) -> DataFrame:
+    """Focused-crawl re-prioritization: the global top-``k`` frontier
+    rows by an external per-URL score — PageRank over the link graph
+    crawled so far (linkgraph.pagerank_exact), URL quality
+    (urlstats.url_quality_columns), host quality (webquality) — with
+    the BFS order (depth, discovery_seq) as the deterministic
+    tie-break, so equal-scored URLs keep their crawl order and the
+    selection is reproducible.
+
+    The reference crawls strictly breadth-first (wpull's FIFO); this
+    operator is the scheduling generalization a 10^10-URL frontier
+    needs: spend the fetch budget on the highest-value URLs first.
+
+    Scale shape: ``scores`` is URL-keyed and corpus-sized, so the
+    join is a plain equi-shuffle (LEFT OUTER — unscored URLs get
+    ``default_score`` — and AQE-skew-splittable); the global top-k
+    compiles to TakeOrderedAndProject: each task keeps a local
+    top-k heap and only k rows per partition reach the merge — no
+    global sort is ever materialized. k is superstep-sized (the
+    fetch wave), the driver-capacity class the crawl loop already
+    assumes for a wave.
+    """
+    joined = frontier.join(
+        scores.select(
+            F.col(url_col).alias("url"),
+            F.col(score_col).cast("double").alias("_score"),
+        ),
+        "url",
+        "left",
+    ).withColumn(
+        "_score", F.coalesce(F.col("_score"), F.lit(float(default_score)))
+    )
+    return (
+        joined.orderBy(
+            F.col("_score").desc(),
+            F.col("depth").asc(),
+            F.col("discovery_seq").asc(),
+            F.col("url").asc(),
+        )
+        .limit(int(k))
+        .drop("_score")
+    )

@@ -2880,3 +2880,56 @@ WITH hosts AS (
 SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url
 FROM hosts WHERE hmod = 2
 """
+
+
+# --------------------------------------------------------------------
+# Focused-crawl frontier prioritization (operators/frontier.py::
+# frontier_prioritize): global top-k by an external per-URL score,
+# BFS order as the deterministic tie-break, TakeOrderedAndProject
+# (map-side top-k heaps, no global sort). Scores cover only even
+# doc_ids so the unscored->default_score path is exercised too.
+# --------------------------------------------------------------------
+
+
+def q_frontier_topk(spark, sf):
+    """Top-100 frontier rows by a deterministic integer-derived score
+    over half the URLs (the other half rides default_score=0)."""
+    from website_indexer_spark.operators.frontier import (
+        frontier_prioritize,
+    )
+
+    docs = _t(spark, sf, "documents")
+    u = urls_from_documents(docs)
+    doc = F.col("doc_id")
+    frontier = u.select(
+        "url",
+        (doc % 4).cast("int").alias("depth"),
+        doc.cast("long").alias("discovery_seq"),
+    )
+    scores = u.filter(doc % 2 == 0).select(
+        "url",
+        (((doc * 2654435761) % 1000).cast("double") / 1000.0).alias(
+            "score"
+        ),
+    )
+    return frontier_prioritize(frontier, scores, k=100)
+
+
+SPARK_QUERIES["frontier_topk"] = q_frontier_topk
+
+ORACLE_SQL["frontier_topk"] = (
+    "WITH " + _URLS_CTE + r""", f AS (
+  SELECT url,
+         CAST(doc_id % 4 AS INT) AS depth,
+         CAST(doc_id AS BIGINT) AS discovery_seq,
+         CASE WHEN doc_id % 2 = 0
+              THEN CAST((doc_id * 2654435761) % 1000 AS DOUBLE) / 1000.0
+              ELSE 0.0 END AS score
+  FROM u
+)
+SELECT url, depth, discovery_seq
+FROM f
+ORDER BY score DESC, depth ASC, discovery_seq ASC, url ASC
+LIMIT 100
+"""
+)
