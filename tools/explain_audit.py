@@ -443,6 +443,99 @@ CHECKS = {
         ("never cartesian",
          lambda p: "CartesianProduct" not in p),
     ],
+    "window_hourly": [
+        ("tumbling-window agg partial-aggregates map-side before its "
+         "single exchange",
+         lambda p: "partial_count" in p
+         and p.count("hashpartitioning") == 1),
+        ("no Python", lambda p: "EvalPython" not in p),
+    ],
+    "dedup_minhash_lsh": [
+        ("band buckets meet in an equi-join — never cartesian, and "
+         "the sketch UDFs are Arrow-batched, never row-at-a-time",
+         lambda p: "CartesianProduct" not in p
+         and "BatchEvalPython" not in p),
+        ("pair verification happens after a real join (banding "
+         "prunes the candidate space)",
+         lambda p: "Join" in p),
+    ],
+    "dedup_simhash": [
+        ("block buckets meet in an equi-join — never cartesian; "
+         "Arrow-batched sketches only",
+         lambda p: "CartesianProduct" not in p
+         and "BatchEvalPython" not in p),
+        ("candidate pairs come from a join, not an all-pairs pass",
+         lambda p: "Join" in p),
+    ],
+    "lang_id": [
+        ("narrow projection: zero exchanges, no Python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "quality": [
+        ("narrow projection: zero exchanges, no Python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "token_counts": [
+        ("narrow projection: zero exchanges, no Python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "embedding_dup_pairs_lsh": [
+        ("fused LSH: exactly three bounded exchanges — band route, "
+         "capacity sub-split route, pair-dedup agg — never cartesian",
+         lambda p: p.count("hashpartitioning") <= 3
+         and "CartesianProduct" not in p),
+        ("vector compare is Arrow-batched, never row-at-a-time",
+         lambda p: "BatchEvalPython" not in p),
+    ],
+    "dimension_upsert": [
+        ("above-broadcast-threshold MERGE: the anti-join is the "
+         "shuffled LeftAnti the strategy table mandates (broadcasting "
+         "10^6 string keys through the driver is a serial floor)",
+         lambda p: "LeftAnti" in p),
+        ("never cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "seen_anti_join_bucketed": [
+        ("the committed seen table is ABSENT from the plan: one probe "
+         "scan, one probe-side exchange into the bucket-pinned "
+         "MapInPandas point-reader",
+         lambda p: "MapInPandas" in p
+         and p.count("hashpartitioning") == 1),
+        ("no seen-side join in the plan at all",
+         lambda p: "Join" not in p),
+    ],
+    "seen_anti_join_cuckoo": [
+        ("maybe-seen rows resolve via broadcast LeftAnti (the filter "
+         "is a prefilter, the exact join stays small); the big side "
+         "never sort-merge-shuffles",
+         lambda p: "BroadcastExchange" in p
+         and "SortMergeJoin" not in p),
+        ("never cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "politeness_bucketed": [
+        ("the queue snapshot is read bucket-pinned inside MapInPandas; "
+         "the ONLY exchange moves B driver-sized bucket-id rows "
+         "(REPARTITION_BY_NUM on bucket), never frontier rows — no "
+         "frontier-row hash exchange exists in the plan",
+         lambda p: "MapInPandas" in p
+         and p.count("hashpartitioning") == 1
+         and "REPARTITION_BY_NUM" in p
+         and "ENSURE_REQUIREMENTS" not in p),
+    ],
+    "dedup_clusters": [
+        ("the cluster map applies through real joins — never "
+         "cartesian, no row-at-a-time Python",
+         lambda p: "CartesianProduct" not in p
+         and "BatchEvalPython" not in p),
+    ],
+    "wet_roundtrip": [
+        ("read side is file-parallel (one MapInPandas task per "
+         "shard; gzip members are not splittable)",
+         lambda p: "MapInPandas" in p),
+        ("no exchange after the parse — decode + projection stay "
+         "in the file task",
+         lambda p: "Exchange" not in p.split("MapInPandas", 1)[0]),
+        ("never cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     "frontier_topk": [
         ("global top-k is TakeOrderedAndProject — map-side top-k "
          "heaps, never a global Sort+Limit",
