@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "robots_sitemaps",
     "wat_roundtrip",
     "crawl_delay_budgets",
+    "dsir_logratio",
+    "recrawl_schedule",
+    "encoding_filter",
     "pii_scrub",
     "topk_terms",
     "decontam_report",

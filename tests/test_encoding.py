@@ -1,0 +1,75 @@
+"""Encoding-quality signals (functions/encoding.py): counter
+semantics on hand-built damage, the exact permille protocol, filter
+behavior, and the zero-exchange plan."""
+
+from __future__ import annotations
+
+from website_indexer_spark.functions.encoding import (
+    encoding_filter,
+    encoding_stats,
+)
+
+CLEAN = "a perfectly ordinary sentence."
+MOJI = "it was cafÃ© o’clock â€™ ï»¿x"
+REPL = "bad � bytes � here"
+CTRL = "null \x00 and bell \x07 and C1 \x9f"
+TABS = "tabs\tand\nnewlines\rare fine"
+
+
+def _df(spark):
+    rows = [
+        (0, CLEAN),
+        (1, MOJI),
+        (2, REPL),
+        (3, CTRL),
+        (4, TABS),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_counters(spark):
+    got = {
+        r["doc_id"]: r for r in encoding_stats(_df(spark)).collect()
+    }
+    assert got[0]["repl_chars"] == got[0]["ctrl_chars"] == got[0]["moji_chars"] == 0
+    # MOJI: 'Ã' (1) + 'â€' (2) + 'ï»¿' (3) = 6 chars; the genuine
+    # U+2019 curly quote is NOT counted
+    assert got[1]["moji_chars"] == 6
+    assert got[1]["repl_chars"] == 0
+    assert got[2]["repl_chars"] == 2
+    assert got[3]["ctrl_chars"] == 3
+    # \t \n \r never count as damage
+    assert got[4]["ctrl_chars"] == 0 and got[4]["badness_permille"] == 0
+    # empty text: no division blowup
+    assert got[5]["n_chars"] == 0 and got[5]["badness_permille"] == 0
+
+
+def test_permille_exact(spark):
+    got = {
+        r["doc_id"]: r for r in encoding_stats(_df(spark)).collect()
+    }
+    for d in (1, 2, 3):
+        r = got[d]
+        bad = r["repl_chars"] + r["ctrl_chars"] + r["moji_chars"]
+        assert r["badness_permille"] == 1000 * bad // max(r["n_chars"], 1)
+
+
+def test_filter_keeps_clean_rows_verbatim(spark):
+    kept = encoding_filter(_df(spark)).collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 4, 5]
+    assert {r["text"] for r in kept} == {CLEAN, TABS, ""}
+
+
+def test_filter_threshold(spark):
+    # damage density ~ hundreds of permille here; a huge threshold
+    # readmits everything
+    assert encoding_filter(_df(spark), max_permille=1000).count() == 6
+
+
+def test_plan_is_narrow(spark):
+    df = _df(spark).localCheckpoint()
+    for q in (encoding_stats(df), encoding_filter(df)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan

@@ -579,6 +579,70 @@ CHECKS = {
         ("never cartesian",
          lambda p: "CartesianProduct" not in p),
     ],
+    "encoding_stats": [
+        ("the whole damage detector is one narrow projection — no "
+         "exchange, no Python; it fuses into any scan",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "encoding_filter": [
+        ("the keep-rule is a pure filter over the same narrow "
+         "expressions — no exchange, no Python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "recrawl_schedule": [
+        ("the lag() window and the per-surt aggregate share ONE "
+         "surt-keyed exchange (the derivation's doc_id join is "
+         "broadcast) — change detection adds no second shuffle",
+         lambda p: p.count("hashpartitioning") == 1
+         and "Window" in p),
+        ("priority arithmetic is native bigint expressions — no "
+         "Python anywhere",
+         lambda p: "EvalPython" not in p),
+        ("never cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "recrawl_topk": [
+        ("refetch top-k is TakeOrderedAndProject — per-task heaps, "
+         "never a global Sort+Limit",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("never cartesian, no Python",
+         lambda p: "CartesianProduct" not in p
+         and "EvalPython" not in p),
+    ],
+    "dsir_model": [
+        ("both models come from ONE localCheckpointed <=B-row counts "
+         "frame (target counts are a conditional sum in the same "
+         "groupBy) — the scores plan reuses it twice and never "
+         "rescans the corpus parquet",
+         lambda p: "Location:" not in p
+         and p.count("Scan ExistingRDD") >= 2
+         and "partial_sum" in p),
+        ("totals attach as a 1-row broadcast cross — no shuffle "
+         "join, no cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "SortMergeJoin" not in p
+         and "ShuffledHashJoin" not in p),
+        ("no Python in the plan",
+         lambda p: "EvalPython" not in p),
+    ],
+    "dsir_logratio": [
+        ("scoring joins the <=B-row model via BROADCAST hash join — "
+         "the corpus token stream never shuffles for the lookup",
+         lambda p: "BroadcastHashJoin" in p),
+        ("per-doc weight folds in a partial HashAggregate (map-side "
+         "combine: a doc's bigrams never leave its input partition)",
+         lambda p: "HashAggregate" in p and "partial" in p.lower()),
+        ("integer-sum protocol end to end: no shuffle join, no "
+         "cartesian, no Python",
+         lambda p: "CartesianProduct" not in p
+         and "SortMergeJoin" not in p
+         and "EvalPython" not in p),
+    ],
+    "dsir_head": [
+        ("DSIR selection is TakeOrderedAndProject over the scored "
+         "frame — never a global sort",
+         lambda p: "TakeOrderedAndProject" in p),
+    ],
     "wat_roundtrip": [
         ("read side is file-parallel (one MapInPandas task per "
          "shard; gzip members are not splittable)",

@@ -100,6 +100,33 @@ def build_fat_corpus(repl: int) -> str:
     return out
 
 
+def augment_fat_corpus(fat_dir: str) -> None:
+    """Batch-V derived corpora (round-4 late additions): the
+    damage-injected docs for encoding_filter and the 4-snapshot CDX
+    capture index for recrawl_schedule — materialized like _web/_pages
+    so derivations are not part of the measured operators."""
+    if os.path.exists(fat_dir + "_capsidx/_SUCCESS"):
+        return
+    from website_indexer_spark.sources.cdx import cdx_index
+    from website_indexer_spark.sources.synth import (
+        captures_from_documents,
+        damaged_from_documents,
+    )
+    from website_indexer_spark.sources.tables import build_spark
+
+    spark = build_spark(app_name="fat-aug", master="local[8]",
+                        shuffle_partitions=8)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    fat = spark.read.parquet(fat_dir)
+    damaged_from_documents(fat).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(fat_dir + "_damaged")
+    cdx_index(captures_from_documents(fat)).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(fat_dir + "_capsidx")
+    spark.stop()
+
+
 def run_level(cpus: int, fat_dir: str) -> dict:
     """One Spark session at local[cpus]; returns {op: best_seconds}."""
     from pyspark.sql import functions as F
@@ -200,6 +227,28 @@ def run_level(cpus: int, fat_dir: str) -> dict:
             ),
         }
     )
+    # batch V (round-4 late additions): DSIR scoring over the raw fat
+    # corpus, decode-damage gauntlet over the damage-injected twin,
+    # change-rate estimation over the materialized capture index
+    from website_indexer_spark.functions.encoding import encoding_filter
+    from website_indexer_spark.operators.dsir import dsir_logratio
+    from website_indexer_spark.sources.cdx import cdx_change_rate
+    from website_indexer_spark.sources.synth import DOC_PAGES_EPOCH
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    damaged = spark.read.parquet(fat_dir + "_damaged")
+    capsidx = spark.read.parquet(fat_dir + "_capsidx")
+    ops.update(
+        {
+            "dsir_logratio": lambda: dsir_logratio(
+                docs, F.col("source").isin("src0", "src1")
+            ),
+            "encoding_filter": lambda: encoding_filter(damaged),
+            "recrawl_schedule": lambda: cdx_change_rate(
+                capsidx, DOC_PAGES_EPOCH + 10_000_000
+            ),
+        }
+    )
     only = os.environ.get("SCALE_OPS")
     if only:
         keep = set(only.split(","))
@@ -226,6 +275,7 @@ def main() -> None:
     repl = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 
     fat = build_fat_corpus(repl)
+    augment_fat_corpus(fat)
     print(f"corpus: {fat}")
     p0 = cpu_ceiling(low, high)
     print(f"probe(before) {low}->{high}: {p0:.2f}x", flush=True)

@@ -862,6 +862,43 @@ def q_lm_head(spark, sf):
     ).select("doc_id", "source", "lang")
 
 
+def q_dsir_model(spark, sf):
+    """DSIR hashed-bigram importance model (operators/dsir.py):
+    target = the src0/src1 'trusted' slice; one conditional-sum
+    groupBy(bucket) yields both models' counts, totals ride a
+    broadcast 1-row cross join, log ratios floor-quantized to
+    integer milli-nats per bucket."""
+    from website_indexer_spark.operators import dsir
+
+    docs = _t(spark, sf, "documents")
+    return dsir.dsir_bucket_scores(
+        docs, F.col("source").isin("src0", "src1")
+    )
+
+
+def q_dsir_logratio(spark, sf):
+    """Per-document DSIR importance weight: broadcast bucket-score
+    join + integer groupBy(doc_id) sum (summation-order-free by
+    construction — the quantization happens per bucket)."""
+    from website_indexer_spark.operators import dsir
+
+    docs = _t(spark, sf, "documents")
+    return dsir.dsir_logratio(
+        docs, F.col("source").isin("src0", "src1")
+    )
+
+
+def q_dsir_head(spark, sf):
+    """The DSIR selection step: top-100 docs by (weight desc,
+    doc_id asc) via TakeOrderedAndProject."""
+    from website_indexer_spark.operators import dsir
+
+    docs = _t(spark, sf, "documents")
+    return dsir.dsir_head(
+        docs, F.col("source").isin("src0", "src1"), 100
+    )
+
+
 def q_incremental_dedup(spark, sf):
     """Cross-dump dedup (operators/dedup.py::dedup_against_snapshot):
     docs with doc_id % 3 == 0 play the published snapshot, the rest
@@ -954,6 +991,9 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "shard_manifest": q_shard_manifest,
     "lm_logloss": q_lm_logloss,
     "lm_head": q_lm_head,
+    "dsir_model": q_dsir_model,
+    "dsir_logratio": q_dsir_logratio,
+    "dsir_head": q_dsir_head,
     "incremental_dedup": q_incremental_dedup,
     "host_stats": q_host_stats,
     "host_filter": q_host_filter,
@@ -1755,6 +1795,87 @@ ORACLE_SQL["lm_head"] = (
     "WHERE logloss_milli <= 3400)"
 )
 
+# dsir_model / dsir_logratio / dsir_head: the hashed-bigram
+# importance model. Bucket id mirrors Spark's
+# conv(substring(md5(g),1,4),16,10) via strpos arithmetic over the
+# md5 hex prefix; the ln argument is assembled from exact-int casts
+# with one multiply and one divide (each IEEE-correctly-rounded), so
+# the per-bucket floor-milli quantization agrees across engines and
+# every per-doc weight is an integer sum (summation-order-free).
+_DSIR_B = 65_536
+
+
+def _dsir_sql_core() -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    prefix16 = " + ".join(
+        f"{digit.format(i=i)} * {m}"
+        for i, m in ((1, 4096), (2, 256), (3, 16), (4, 1))
+    )
+    return (
+        r"""ds_tok AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), ds_bg AS (
+  SELECT doc_id, is_t,
+         unnest(CASE WHEN len(t) >= 2 THEN
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1])
+         ELSE [] END) AS g
+  FROM ds_tok
+), ds_h AS (
+  SELECT doc_id, is_t, md5(g) AS h FROM ds_bg
+), ds_fb AS (
+  SELECT doc_id, is_t, ("""
+        + prefix16
+        + r""") % {B} AS bucket FROM ds_h
+), ds_stats AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS raw_ct,
+         CAST(coalesce(sum(CASE WHEN is_t THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS tgt_ct
+  FROM ds_fb GROUP BY bucket
+), ds_tot AS (
+  SELECT CAST(coalesce(sum(raw_ct), 0) AS BIGINT) AS rt,
+         CAST(coalesce(sum(tgt_ct), 0) AS BIGINT) AS tt
+  FROM ds_stats
+), ds_scores AS (
+  SELECT bucket, raw_ct, tgt_ct,
+    CAST(floor(1000.0 * ln(
+      (CAST(tgt_ct + 1 AS DOUBLE) * CAST(rt + {B} AS DOUBLE))
+      / (CAST(raw_ct + 1 AS DOUBLE) * CAST(tt + {B} AS DOUBLE))))
+      AS BIGINT) AS lr_milli
+  FROM ds_stats CROSS JOIN ds_tot
+)"""
+    ).replace("{B}", str(_DSIR_B))
+
+
+ORACLE_SQL["dsir_model"] = (
+    "WITH "
+    + _dsir_sql_core()
+    + r"""
+SELECT bucket, raw_ct, tgt_ct, lr_milli FROM ds_scores
+"""
+)
+
+_DSIR_DOC_SQL = (
+    "WITH "
+    + _dsir_sql_core()
+    + r"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(lr_milli) AS BIGINT) AS weight_milli
+FROM ds_fb JOIN ds_scores USING (bucket)
+GROUP BY doc_id
+"""
+)
+
+ORACLE_SQL["dsir_logratio"] = _DSIR_DOC_SQL
+ORACLE_SQL["dsir_head"] = (
+    "SELECT * FROM ("
+    + _DSIR_DOC_SQL
+    + ") ORDER BY weight_milli DESC, doc_id ASC LIMIT 100"
+)
+
 # host_stats / host_filter: one groupBy(host); the doubles are a
 # single bigint/bigint IEEE division in both engines (never an
 # incremental average), so they hash bit-identically.
@@ -1879,12 +2000,97 @@ def q_cdx_index(spark, sf):
     return _cdx.cdx_index(pages)
 
 
+def q_encoding_stats(spark, sf):
+    """Decode-damage signals (functions/encoding.py): U+FFFD /
+    C0-C1-control / mojibake-pilot character counts + exact permille
+    density, over the deterministic damage-injected derivation —
+    one narrow projection, zero exchanges."""
+    from website_indexer_spark.functions.encoding import encoding_stats
+    from website_indexer_spark.sources.synth import (
+        damaged_from_documents,
+    )
+
+    return encoding_stats(
+        damaged_from_documents(_t(spark, sf, "documents"))
+    )
+
+
+def q_encoding_filter(spark, sf):
+    """The keep-rule form: survivors at the default <=5-permille
+    damage threshold (injected rows die, clean rows pass)."""
+    from website_indexer_spark.functions.encoding import (
+        encoding_filter,
+    )
+    from website_indexer_spark.sources.synth import (
+        damaged_from_documents,
+    )
+
+    return encoding_filter(
+        damaged_from_documents(_t(spark, sf, "documents"))
+    ).select("doc_id", "source")
+
+
 SPARK_QUERIES["c4_line_stats"] = q_c4_line_stats
 SPARK_QUERIES["c4_clean"] = q_c4_clean
+SPARK_QUERIES["encoding_stats"] = q_encoding_stats
+SPARK_QUERIES["encoding_filter"] = q_encoding_filter
 SPARK_QUERIES["paragraph_dedup"] = q_paragraph_dedup
 SPARK_QUERIES["url_features"] = q_url_features
 SPARK_QUERIES["url_filter"] = q_url_filter
 SPARK_QUERIES["cdx_index"] = q_cdx_index
+
+
+# encoding_stats / encoding_filter: the damage-injected derivation is
+# rebuilt from chr() codepoints (byte-identical to synth's literals);
+# counters are chars-removed-by-regexp in both engines, and the
+# permille is one IEEE double division of exact ints, floor-bucketed.
+_ENC_MOJI_SFX = (
+    "' caf' || chr(195) || chr(169) || ' ' || chr(226) || chr(8364)"
+    " || chr(8482) || 's'"
+)
+_ENC_CTRL_SFX = "chr(65533) || chr(1) || chr(159)"
+_ENC_CTE = f"""enc AS (
+  SELECT doc_id, source,
+    text
+    || CASE WHEN doc_id % 5 = 0 THEN {_ENC_MOJI_SFX} ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN {_ENC_CTRL_SFX} ELSE '' END
+    AS text
+  FROM documents
+), enc_cnt AS (
+  SELECT doc_id, source, length(text) AS n,
+    length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+      AS r,
+    length(text) - length(regexp_replace(text,
+      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g')) AS c,
+    length(text) - length(regexp_replace(text,
+      '(?:' || chr(195) || '|' || chr(194) || '|' || chr(226)
+      || chr(8364) || '|' || chr(239) || chr(187) || chr(191) || ')',
+      '', 'g')) AS m
+  FROM enc
+), enc_stats AS (
+  SELECT doc_id, source,
+    CAST(n AS BIGINT) AS n_chars,
+    CAST(r AS BIGINT) AS repl_chars,
+    CAST(c AS BIGINT) AS ctrl_chars,
+    CAST(m AS BIGINT) AS moji_chars,
+    CAST(floor(1000 * (r + c + m) / greatest(n, 1)) AS BIGINT)
+      AS badness_permille
+  FROM enc_cnt
+)"""
+
+ORACLE_SQL["encoding_stats"] = (
+    "WITH " + _ENC_CTE + r"""
+SELECT doc_id, n_chars, repl_chars, ctrl_chars, moji_chars,
+       badness_permille
+FROM enc_stats
+"""
+)
+
+ORACLE_SQL["encoding_filter"] = (
+    "WITH " + _ENC_CTE + r"""
+SELECT doc_id, source FROM enc_stats WHERE badness_permille <= 5
+"""
+)
 
 
 # --- DuckDB twins ----------------------------------------------------
@@ -2749,30 +2955,13 @@ from website_indexer_spark.sources.synth import DOC_PAGES_EPOCH  # noqa: E402
 
 
 def _multi_captures(spark, sf):
-    """web_pages-shaped 4-snapshot capture history per derived URL."""
-    docs = _t(spark, sf, "documents")
-    u = urls_from_documents(docs).join(
-        docs.select("doc_id", "text"), "doc_id"
+    """web_pages-shaped 4-snapshot capture history per derived URL
+    (synth.captures_from_documents — shared with the scaling tool)."""
+    from website_indexer_spark.sources.synth import (
+        captures_from_documents,
     )
-    caps = u.select(
-        "doc_id",
-        "url",
-        "text",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("snap"),
-    )
-    doc, sn = F.col("doc_id"), F.col("snap")
-    ver = F.when(doc % 2 == 0, F.floor(sn / 2)).otherwise(sn).cast("int")
-    return caps.select(
-        "url",
-        F.timestamp_seconds(
-            F.lit(DOC_PAGES_EPOCH) + doc * 37 + sn * 1_000_000
-        ).alias("warc_ts"),
-        F.encode(
-            F.concat(F.col("text"), F.lit("#"), ver.cast("string")), "UTF-8"
-        ).alias("html"),
-        F.lit(200).alias("status_code"),
-        F.lit("text/html").alias("content_type"),
-    )
+
+    return captures_from_documents(_t(spark, sf, "documents"))
 
 
 def q_cdx_collapse(spark, sf):
@@ -2869,6 +3058,84 @@ SELECT surt, ts14, url, mime, status_code, digest, length
 FROM rn WHERE r = 1
 """
 )
+
+def q_recrawl_schedule(spark, sf):
+    """Cho & Garcia-Molina change-rate estimation + integer recrawl
+    priority over the 4-snapshot capture history: one exchange keyed
+    by surt (lag window + aggregate share the partitioning); even
+    doc_ids changed once (lambda_milli=336), odd every interval
+    (1945), staleness varies per URL via the epoch arithmetic."""
+    from website_indexer_spark.sources.cdx import cdx_change_rate
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return cdx_change_rate(
+        _cdx.cdx_index(_multi_captures(spark, sf)),
+        now_epoch=DOC_PAGES_EPOCH + 10_000_000,
+    )
+
+
+def q_recrawl_topk(spark, sf):
+    """Top-50 refetch candidates by (priority desc, surt asc) —
+    TakeOrderedAndProject, no global sort."""
+    from website_indexer_spark.sources.cdx import recrawl_topk
+
+    return recrawl_topk(q_recrawl_schedule(spark, sf), 50)
+
+
+SPARK_QUERIES["recrawl_schedule"] = q_recrawl_schedule
+SPARK_QUERIES["recrawl_topk"] = q_recrawl_topk
+
+# Mirrors cdx_change_rate stage for stage over the shared capture CTE.
+# The ln argument is an IEEE-exact ratio of small integers (the
+# lm_logloss float protocol) and the priority is pure bigint
+# arithmetic, so both columns hash-match across engines.
+_RECRAWL_CORE = r""", rlag AS (
+  SELECT surt, ts14, url, digest,
+         CAST(epoch(strptime(ts14, '%Y%m%d%H%M%S')) AS BIGINT) AS ep,
+         lag(digest) OVER (PARTITION BY surt ORDER BY ts14) AS prev
+  FROM cidx
+), ragg AS (
+  SELECT surt,
+         CAST(count(*) AS BIGINT) AS n_captures,
+         CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND prev <> digest
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changes,
+         min(ep) AS first_epoch, max(ep) AS last_epoch,
+         arg_max(url, ts14) AS url
+  FROM rlag GROUP BY surt
+), rlam AS (
+  SELECT surt, url, n_captures, n_changes, first_epoch, last_epoch,
+    CAST(floor(-1000.0 * ln(
+      (CAST(n_captures - 1 AS DOUBLE) - n_changes + 0.5)
+      / (CAST(n_captures - 1 AS DOUBLE) + 0.5))) AS BIGINT) AS lambda_milli
+  FROM ragg
+), rsched AS (
+  SELECT surt, url, n_captures, n_changes, first_epoch, last_epoch,
+         lambda_milli,
+    CAST(CASE WHEN last_epoch > first_epoch
+         THEN lambda_milli * ({NOW} - last_epoch) * (n_captures - 1)
+              // (last_epoch - first_epoch)
+         ELSE 0 END AS BIGINT) AS priority
+  FROM rlam
+)""".replace("{NOW}", str(DOC_PAGES_EPOCH + 10_000_000))
+
+ORACLE_SQL["recrawl_schedule"] = (
+    "WITH " + _URLS_CTE + ", " + _CAPS_CDX_CTE + _RECRAWL_CORE + r"""
+SELECT surt, url, n_captures, n_changes, first_epoch, last_epoch,
+       lambda_milli, priority
+FROM rsched
+"""
+)
+
+ORACLE_SQL["recrawl_topk"] = (
+    "WITH " + _URLS_CTE + ", " + _CAPS_CDX_CTE + _RECRAWL_CORE + r"""
+SELECT surt, url, n_captures, n_changes, first_epoch, last_epoch,
+       lambda_milli, priority
+FROM rsched
+ORDER BY priority DESC, surt ASC
+LIMIT 50
+"""
+)
+
 
 ORACLE_SQL["robots_sitemaps"] = r"""
 WITH hosts AS (

@@ -583,3 +583,65 @@ def robots_from_documents(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("User-agent: *\nCrawl-delay: 9999\n"))
     )
     return hosts.select("host", body.alias("body"))
+
+
+def captures_from_documents(docs: DataFrame) -> DataFrame:
+    """web_pages-shaped 4-snapshot capture history per derived URL
+    (the CDX-family gate corpus): even doc_ids change content at
+    snapshot 2 only (digest runs [0,1][2,3] — the collapse case),
+    odd doc_ids change every snapshot. Timestamps are epoch +
+    doc_id*37 + snap*1e6 so per-URL staleness varies
+    deterministically."""
+    from pyspark.sql import functions as F
+
+    u = urls_from_documents(docs).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    caps = u.select(
+        "doc_id",
+        "url",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("snap"),
+    )
+    doc, sn = F.col("doc_id"), F.col("snap")
+    ver = F.when(doc % 2 == 0, F.floor(sn / 2)).otherwise(sn).cast("int")
+    return caps.select(
+        "url",
+        F.timestamp_seconds(
+            F.lit(DOC_PAGES_EPOCH) + doc * 37 + sn * 1_000_000
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.col("text"), F.lit("#"), ver.cast("string")),
+            "UTF-8",
+        ).alias("html"),
+        F.lit(200).alias("status_code"),
+        F.lit("text/html").alias("content_type"),
+    )
+
+
+def damaged_from_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, text) with deterministic decode damage
+    injected for the encoding-quality gates: doc_id % 5 == 0 gains a
+    mojibake suffix (UTF-8 'café' and a curly quote read as
+    Windows-1252), doc_id % 7 == 0 gains a U+FFFD replacement char
+    plus C0/C1 control bytes; % 35 rows carry both, everything else
+    passes through clean. The DuckDB twin builds byte-identical
+    strings from chr() codepoints (catalog.py::_ENC_CTE)."""
+    from pyspark.sql import functions as F
+
+    doc = F.col("doc_id")
+    # ' caf' + 'Ã©' (c3 a9 read as cp1252) + ' ' + 'â€™' (e2 80 99
+    # read as cp1252) + 's'
+    moji = F.when(
+        doc % 5 == 0,
+        F.lit(" cafÃ© â€™s"),
+    ).otherwise(F.lit(""))
+    # U+FFFD + C0 control + C1 control
+    ctrl = F.when(
+        doc % 7 == 0, F.lit("\ufffd\u0001\u009f")
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), moji, ctrl).alias("text"),
+    )
