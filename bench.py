@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "gopher_stats",
     "gopher_filter",
     "pagerank",
+    "host_pagerank",
     "link_degrees",
     "wet_roundtrip",
     "sitemap_entries",

@@ -152,3 +152,92 @@ def test_pagerank_deterministic_across_runs(spark, graph):
     a = sorted(map(tuple, pagerank_exact(nodes, edges, rounds=3).collect()))
     b = sorted(map(tuple, pagerank_exact(nodes, edges, rounds=3).collect()))
     assert a == b
+
+
+# --------------------------------------------------------------------
+# Host contraction + weighted PageRank
+# --------------------------------------------------------------------
+
+HOSTS = [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c"), (5, "c")]
+
+
+def _py_weighted_pagerank(nodes, wedges, rounds):
+    deg = {}
+    for s, _, w in wedges:
+        deg[s] = deg.get(s, 0) + w
+    pr = {n: PR_INIT_MICRO for n in nodes}
+    for _ in range(rounds):
+        inc = {n: 0 for n in nodes}
+        for s, d, w in wedges:
+            inc[d] += w * (pr[s] // deg[s])
+        pr = {
+            n: PR_TELEPORT_MICRO + (PR_DAMP_NUM * inc[n]) // PR_DAMP_DEN
+            for n in nodes
+        }
+    return pr
+
+
+def _py_contract(edges, hosts):
+    hmap = dict(hosts)
+    agg = {}
+    for s, d in edges:
+        hs, hd = hmap[s], hmap[d]
+        if hs != hd:
+            agg[(hs, hd)] = agg.get((hs, hd), 0) + 1
+    return agg
+
+
+def test_contract_to_hosts(spark, graph):
+    from website_indexer_spark.operators.linkgraph import (
+        contract_to_hosts,
+    )
+
+    _, edges = graph
+    node_hosts = spark.createDataFrame(HOSTS, ["node", "host"])
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in contract_to_hosts(edges, node_hosts).collect()
+    }
+    assert got == _py_contract(EDGES, HOSTS)
+    # intra-host edges (0->1, 2->3) never appear
+    assert all(s != d for (s, d) in got)
+
+
+def test_weighted_pagerank_matches_python_oracle(spark, graph):
+    from website_indexer_spark.operators.linkgraph import (
+        contract_to_hosts,
+    )
+
+    _, edges = graph
+    node_hosts = spark.createDataFrame(HOSTS, ["node", "host"])
+    hedges = contract_to_hosts(edges, node_hosts)
+    hnodes = node_hosts.select("host").distinct()
+    want = _py_weighted_pagerank(
+        ["a", "b", "c"],
+        [(s, d, w) for (s, d), w in _py_contract(EDGES, HOSTS).items()],
+        rounds=3,
+    )
+    got = {
+        r["host"]: r["pr_micro"]
+        for r in pagerank_exact(
+            hnodes, hedges, rounds=3, node_col="host",
+            weight_col="weight",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_weight_one_reduces_to_unweighted(spark, graph):
+    nodes, edges = graph
+    w1 = edges.withColumn("weight", F.lit(1).cast("long"))
+    plain = {
+        r["node"]: r["pr_micro"]
+        for r in pagerank_exact(nodes, edges, rounds=4).collect()
+    }
+    weighted = {
+        r["node"]: r["pr_micro"]
+        for r in pagerank_exact(
+            nodes, w1, rounds=4, weight_col="weight"
+        ).collect()
+    }
+    assert plain == weighted

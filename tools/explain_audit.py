@@ -394,6 +394,17 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "host_pagerank": [
+        ("the contracted host edge list is cached + pre-partitioned "
+         "— consumed from InMemoryTableScan every round",
+         lambda p: p.count("InMemoryTableScan") >= 5),
+        ("the host-pair fold AND each round's fan-in "
+         "partial-aggregate before their exchanges",
+         lambda p: "partial" in p.lower()),
+        ("mapping joins + rounds are equi-joins — never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "link_degrees": [
         ("one tagged union + one partial-aggregated exchange keyed "
          "by node",

@@ -78,6 +78,47 @@ def degree_stats(
     )
 
 
+def contract_to_hosts(
+    edges: DataFrame,
+    node_hosts: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    host_col: str = "host",
+) -> DataFrame:
+    """Collapse a page-level edge list to the weighted host-level
+    graph — the Common Crawl host/domain-ranking shape (their
+    published domain ranks run centrality over exactly this
+    contraction). ``node_hosts`` maps node -> host (node-sized, so
+    both mapping joins are key-partitioned equi-joins, never
+    broadcast-assumed); intra-host edges are dropped (self-ranking
+    noise), parallel page links fold into an integer ``weight`` via a
+    partial (map-side) aggregate — at web fan-out the host-pair
+    count is orders below the page-edge count, so the exchange
+    carries the contracted graph, not the raw one.
+
+    Returns (src_host, dst_host, weight:bigint) under the original
+    src/dst column names."""
+    s_map = node_hosts.select(
+        F.col(node_col).alias(src_col), F.col(host_col).alias("_sh")
+    )
+    d_map = node_hosts.select(
+        F.col(node_col).alias(dst_col), F.col(host_col).alias("_dh")
+    )
+    return (
+        edges.join(s_map, src_col)
+        .join(d_map, dst_col)
+        .where(F.col("_sh") != F.col("_dh"))
+        .groupBy("_sh", "_dh")
+        .agg(F.count("*").alias("weight"))
+        .select(
+            F.col("_sh").alias(src_col),
+            F.col("_dh").alias(dst_col),
+            "weight",
+        )
+    )
+
+
 def pagerank_exact(
     nodes: DataFrame,
     edges: DataFrame,
@@ -87,6 +128,7 @@ def pagerank_exact(
     dst_col: str = "dst",
     partitions: int = 0,
     checkpoint_every: int = 8,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Integer-exact fixed-round PageRank (module docstring for the
     protocol). ``nodes`` is one row per node (dangling nodes receive
@@ -104,12 +146,22 @@ def pagerank_exact(
     n_parts = partitions or edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    deg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
+    # weighted form (host-graph contraction): out-degree becomes the
+    # summed out-weight and each edge contributes
+    # weight * (pr div out_weight) — still pure bigint arithmetic, and
+    # weight=1 everywhere reduces to the unweighted protocol exactly
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    deg = edges.groupBy(src_col).agg(F.sum(w).alias("_deg"))
     edged = (
         edges.join(deg, src_col)
         .select(
             F.col(src_col).alias("_src"),
             F.col(dst_col).alias("_dst"),
+            w.alias("_w"),
             F.col("_deg"),
         )
         .repartition(int(n_parts), F.col("_src"))
@@ -124,7 +176,7 @@ def pagerank_exact(
             edged.join(ranks, edged["_src"] == ranks["_node"])
             .select(
                 F.col("_dst"),
-                F.expr("_pr div _deg").alias("_c"),
+                F.expr("_w * (_pr div _deg)").alias("_c"),
             )
             .groupBy("_dst")
             .agg(F.sum("_c").alias("_in"))

@@ -2531,8 +2531,43 @@ def q_pagerank(spark, sf):
     )
 
 
+def q_host_pagerank(spark, sf):
+    """Domain-level ranking (the Common Crawl host-graph staple):
+    contract the page edge list to the weighted host multigraph
+    (linkgraph.contract_to_hosts — two key-partitioned mapping joins
+    + one partial-aggregated (src_host, dst_host) fold), then run the
+    integer-exact PageRank in its weighted form (contribution =
+    weight * (pr div out_weight), still pure bigints)."""
+    docs = _t(spark, sf, "documents")
+    nodes = docs.select("doc_id")
+    edges = links_from_documents(docs, docs.count())
+    hosts = docs.select(
+        "doc_id",
+        F.lower(
+            F.concat(
+                F.col("source"),
+                F.lit("-"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com"),
+            )
+        ).alias("host"),
+    )
+    hedges = linkgraph.contract_to_hosts(
+        edges, hosts, node_col="doc_id"
+    )
+    hnodes = hosts.select("host").distinct()
+    return linkgraph.pagerank_exact(
+        hnodes,
+        hedges,
+        rounds=PAGERANK_ROUNDS,
+        node_col="host",
+        weight_col="weight",
+    )
+
+
 SPARK_QUERIES["link_degrees"] = q_link_degrees
 SPARK_QUERIES["pagerank"] = q_pagerank
+SPARK_QUERIES["host_pagerank"] = q_host_pagerank
 
 _LINKGRAPH_CTE = """pr_n AS (SELECT count(*) AS n FROM documents),
 pr_e AS (
@@ -2573,6 +2608,53 @@ pr_r{k + 1} AS (
 
 
 ORACLE_SQL["pagerank"] = _pagerank_sql()
+
+
+def _host_pagerank_sql(rounds: int = PAGERANK_ROUNDS) -> str:
+    """Weighted integer-exact PageRank over the host contraction:
+    mirrors contract_to_hosts + the weighted protocol stage for
+    stage (contribution = w * (pr // out_weight), all bigints)."""
+    sql = (
+        "WITH "
+        + _LINKGRAPH_CTE
+        + """,
+hp_h AS (
+  SELECT doc_id,
+         lower(source || '-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com') AS host
+  FROM documents
+),
+hp_e AS (
+  SELECT hs.host AS src, hd.host AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM pr_e e
+  JOIN hp_h hs ON hs.doc_id = e.src
+  JOIN hp_h hd ON hd.doc_id = e.dst
+  WHERE hs.host <> hd.host
+  GROUP BY hs.host, hd.host
+),
+hp_deg AS (SELECT src, sum(w) AS deg FROM hp_e GROUP BY src),
+hp_r0 AS (SELECT DISTINCT host AS node,
+                 CAST(1000000 AS BIGINT) AS pr
+          FROM hp_h)"""
+    )
+    for k in range(rounds):
+        sql += f""",
+hp_c{k} AS (
+  SELECT e.dst, sum(e.w * (r.pr // g.deg)) AS m
+  FROM hp_e e JOIN hp_deg g USING (src) JOIN hp_r{k} r ON r.node = e.src
+  GROUP BY e.dst
+),
+hp_r{k + 1} AS (
+  SELECT n0.node,
+         CAST(150000 + (85 * coalesce(c.m, 0)) // 100 AS BIGINT) AS pr
+  FROM hp_r0 n0 LEFT JOIN hp_c{k} c ON c.dst = n0.node
+)"""
+    return sql + (
+        f"\nSELECT node AS host, pr AS pr_micro FROM hp_r{rounds}"
+    )
+
+
+ORACLE_SQL["host_pagerank"] = _host_pagerank_sql()
 
 ORACLE_SQL["link_degrees"] = (
     "WITH "
