@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "wat_roundtrip",
     "crawl_delay_budgets",
     "dsir_logratio",
+    "ccnet_buckets",
     "recrawl_schedule",
     "encoding_filter",
     "pii_scrub",

@@ -620,6 +620,34 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "EvalPython" not in p),
     ],
+    "quantile_buckets": [
+        ("the corpus never re-exchanges in the visible plan: the "
+         "histogram is a checkpointed frame and the value->bucket "
+         "map joins back via BROADCAST — no global sort of data ever",
+         lambda p: "BroadcastHashJoin" in p
+         and p.count("Exchange hashpartitioning") == 0
+         and "SortMergeJoin" not in p),
+        ("the CDF window's input subtree is the checkpointed "
+         "histogram (Scan ExistingRDD), never a parquet scan",
+         lambda p: "Scan ExistingRDD"
+         in p.split("Window (", 1)[-1].split("BroadcastExchange", 1)[0]
+         and "Scan parquet"
+         not in p.split("Window (", 1)[-1].split("BroadcastExchange", 1)[0]),
+        ("no Python, never cartesian (the totals attach is a 1-row "
+         "broadcast cross)",
+         lambda p: "EvalPython" not in p
+         and "CartesianProduct" not in p),
+    ],
+    "ccnet_buckets": [
+        ("the LM scoring join stays broadcast and the bucket map "
+         "joins broadcast — no shuffle join anywhere",
+         lambda p: "SortMergeJoin" not in p
+         and "ShuffledHashJoin" not in p
+         and "BroadcastHashJoin" in p),
+        ("vocabulary still TakeOrdered; never cartesian",
+         lambda p: "TakeOrderedAndProject" in p
+         and "CartesianProduct" not in p),
+    ],
     "dsir_model": [
         ("both models come from ONE localCheckpointed <=B-row counts "
          "frame (target counts are a conditional sum in the same "

@@ -862,6 +862,31 @@ def q_lm_head(spark, sf):
     ).select("doc_id", "source", "lang")
 
 
+def q_quantile_buckets(spark, sf):
+    """Exact quantile bucketing via the bounded-cardinality histogram
+    protocol (operators/quantiles.py): one partial-aggregated
+    exchange, CDF over the histogram only, broadcast value->bucket
+    map back — never a global sort."""
+    from website_indexer_spark.operators.quantiles import (
+        bucket_by_value_quantiles,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return bucket_by_value_quantiles(docs, "n_chars").select(
+        "doc_id", "n_chars", "bucket"
+    )
+
+
+def q_ccnet_buckets(spark, sf):
+    """The CCNet head/middle/tail split proper: corpus-self-trained
+    LM score cut into exact thirds (ties never split; straddling tie
+    groups land in the later bucket — the documented deterministic
+    rule)."""
+    from website_indexer_spark.operators.quantiles import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf, "documents"))
+
+
 def q_dsir_model(spark, sf):
     """DSIR hashed-bigram importance model (operators/dsir.py):
     target = the src0/src1 'trusted' slice; one conditional-sum
@@ -991,6 +1016,8 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "shard_manifest": q_shard_manifest,
     "lm_logloss": q_lm_logloss,
     "lm_head": q_lm_head,
+    "quantile_buckets": q_quantile_buckets,
+    "ccnet_buckets": q_ccnet_buckets,
     "dsir_model": q_dsir_model,
     "dsir_logratio": q_dsir_logratio,
     "dsir_head": q_dsir_head,
@@ -1793,6 +1820,46 @@ ORACLE_SQL["lm_head"] = (
     "SELECT doc_id, source, lang FROM documents WHERE doc_id IN ("
     "SELECT doc_id FROM (" + ORACLE_SQL["lm_logloss"] + ") "
     "WHERE logloss_milli <= 3400)"
+)
+
+# quantile_buckets / ccnet_buckets: the histogram-CDF exact-quantile
+# protocol. Cut counts are (N*num)//den bigints; the tie rule (a
+# value group whose CDF exceeds the cut lands wholly in the later
+# bucket) is pure integer comparison, so both engines agree exactly.
+def _quantile_map_sql(rel: str, vcol: str) -> str:
+    return f"""qh AS (
+  SELECT {vcol} AS v, CAST(count(*) AS BIGINT) AS c
+  FROM {rel} GROUP BY {vcol}
+), qcdf AS (
+  SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM qh
+), qtot AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM qh
+), qmap AS (
+  SELECT v, CASE WHEN cum <= (n * 1) // 3 THEN 'head'
+                 WHEN cum <= (n * 2) // 3 THEN 'middle'
+                 ELSE 'tail' END AS bucket
+  FROM qcdf CROSS JOIN qtot
+)"""
+
+
+ORACLE_SQL["quantile_buckets"] = (
+    "WITH "
+    + _quantile_map_sql("documents", "n_chars")
+    + r"""
+SELECT d.doc_id, d.n_chars, m.bucket
+FROM documents d JOIN qmap m ON m.v = d.n_chars
+"""
+)
+
+ORACLE_SQL["ccnet_buckets"] = (
+    "WITH lm AS ("
+    + _LM_SQL.format(k=lmscore.DEFAULT_VOCAB_K)
+    + "), "
+    + _quantile_map_sql("lm", "logloss_milli")
+    + r"""
+SELECT lm.doc_id, lm.n_tokens, lm.logloss_milli, m.bucket
+FROM lm JOIN qmap m ON m.v = lm.logloss_milli
+"""
 )
 
 # dsir_model / dsir_logratio / dsir_head: the hashed-bigram
