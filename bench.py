@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "dsir_logratio",
     "ccnet_buckets",
     "recrawl_schedule",
+    "recrawl_frontier",
     "encoding_filter",
     "pii_scrub",
     "topk_terms",

@@ -151,3 +151,34 @@ def test_plan_one_exchange_and_takeordered(spark):
     )
     assert "TakeOrderedAndProject" in top_plan
     assert "Sort " not in top_plan or "SortAggregate" in top_plan
+
+
+def test_recrawl_priorities_drive_frontier_topk(spark):
+    """Composition: cdx_change_rate priorities as frontier_prioritize
+    scores — churny URLs outrank stable ones; never-changed URLs ride
+    default_score and fall back to BFS order."""
+    from website_indexer_spark.operators.frontier import (
+        frontier_prioritize,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rates = cdx_change_rate(_index_df(spark, ROWS), NOW)
+    urls = [r["url"] for r in rates.collect()]
+    frontier = spark.createDataFrame(
+        [(u, 0, i) for i, u in enumerate(sorted(urls))],
+        "url string, depth int, discovery_seq long",
+    )
+    top = frontier_prioritize(
+        frontier,
+        rates.select("url", F.col("priority").alias("score")),
+        k=2,
+    ).collect()
+    want = sorted(
+        (-r["priority"], r["url"]) for r in rates.collect()
+    )[:2]
+    assert [r["url"] for r in top] == [u for _, u in want]
+    # the two churny URLs must be exactly the winners
+    assert {r["url"] for r in top} == {
+        "https://churn.com/",
+        "https://flip.com/",
+    }

@@ -677,6 +677,16 @@ CHECKS = {
          and "SortMergeJoin" not in p
          and "EvalPython" not in p),
     ],
+    "recrawl_frontier": [
+        ("the composed refetch wave is still TakeOrderedAndProject "
+         "— priorities join the frontier as a plain outer equi-join "
+         "and no global sort ever materializes",
+         lambda p: "TakeOrderedAndProject" in p
+         and "CartesianProduct" not in p),
+        ("change detection contributes its one surt-keyed window "
+         "exchange; no Python anywhere",
+         lambda p: "Window" in p and "EvalPython" not in p),
+    ],
     "dsir_head": [
         ("DSIR selection is TakeOrderedAndProject over the scored "
          "frame — never a global sort",

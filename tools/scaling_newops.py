@@ -287,6 +287,9 @@ def run_level(cpus: int, fat_dir: str) -> dict:
             ),
         }
     )
+    from website_indexer_spark.operators.quantiles import ccnet_buckets
+
+    ops.update({"ccnet_buckets": lambda: ccnet_buckets(docs)})
     # host-level PageRank: contraction + weighted rounds over the
     # materialized edge list and the docs-derived host map
     from website_indexer_spark.operators.linkgraph import (

@@ -3331,7 +3331,36 @@ def q_frontier_topk(spark, sf):
     return frontier_prioritize(frontier, scores, k=100)
 
 
+def q_recrawl_frontier(spark, sf):
+    """The crawl<->index loop closed: change-rate priorities from the
+    capture history (cdx_change_rate) feed the focused-crawl top-k
+    (frontier_prioritize) — the incremental crawler's 'which URLs do
+    we refetch this wave' plan as ONE composition. URLs never seen to
+    change ride default_score=0 and fall back to BFS order."""
+    from website_indexer_spark.operators.frontier import (
+        frontier_prioritize,
+    )
+    from website_indexer_spark.sources.cdx import cdx_change_rate
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _t(spark, sf, "documents")
+    u = urls_from_documents(docs)
+    doc = F.col("doc_id")
+    frontier = u.select(
+        "url",
+        (doc % 4).cast("int").alias("depth"),
+        doc.cast("long").alias("discovery_seq"),
+    )
+    rates = cdx_change_rate(
+        _cdx.cdx_index(_multi_captures(spark, sf)),
+        now_epoch=DOC_PAGES_EPOCH + 10_000_000,
+    )
+    scores = rates.select("url", F.col("priority").alias("score"))
+    return frontier_prioritize(frontier, scores, k=50)
+
+
 SPARK_QUERIES["frontier_topk"] = q_frontier_topk
+SPARK_QUERIES["recrawl_frontier"] = q_recrawl_frontier
 
 ORACLE_SQL["frontier_topk"] = (
     "WITH " + _URLS_CTE + r""", f AS (
@@ -3347,5 +3376,25 @@ SELECT url, depth, discovery_seq
 FROM f
 ORDER BY score DESC, depth ASC, discovery_seq ASC, url ASC
 LIMIT 100
+"""
+)
+
+ORACLE_SQL["recrawl_frontier"] = (
+    "WITH "
+    + _URLS_CTE
+    + ", "
+    + _CAPS_CDX_CTE
+    + _RECRAWL_CORE
+    + r""", rf AS (
+  SELECT u.url,
+         CAST(u.doc_id % 4 AS INT) AS depth,
+         CAST(u.doc_id AS BIGINT) AS discovery_seq,
+         coalesce(CAST(r.priority AS DOUBLE), 0.0) AS score
+  FROM u LEFT JOIN rsched r ON r.url = u.url
+)
+SELECT url, depth, discovery_seq
+FROM rf
+ORDER BY score DESC, depth ASC, discovery_seq ASC, url ASC
+LIMIT 50
 """
 )
