@@ -73,3 +73,47 @@ def test_plan_is_narrow(spark):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+def test_hostile_unicode_batch_matches_python(spark):
+    """Exotic-but-legal unicode (astral plane, combining marks, RTL,
+    mid-string BOM, full C1 sweep) — Spark counters must equal a
+    plain-Python re implementation of the same patterns."""
+    import re as _re
+
+    cases = [
+        "emoji \U0001F600\U0001F680 stay clean",
+        "combining é̂̃ accents",
+        "rtl שלום text",
+        "mid-string bom ﻿ alone is fine, trio ï»¿ is not",
+        "".join(chr(c) for c in range(0x80, 0xA0)),  # full C1 block
+        "Ã©" * 10,  # repeated mojibake pilot
+        "AÂ B",  # nbsp read as cp1252: 'Â' pilot
+        "plain ascii only",
+    ]
+    ctrl_re = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+    moji_re = _re.compile("(?:Ã|Â|â€|ï»¿)")
+
+    def py(t):
+        moji = sum(len(m) for m in moji_re.findall(t))
+        return (
+            len(t),
+            t.count("�"),
+            len(ctrl_re.findall(t)),
+            moji,
+        )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars"],
+            r["repl_chars"],
+            r["ctrl_chars"],
+            r["moji_chars"],
+        )
+        for r in encoding_stats(df).collect()
+    }
+    for i, t in enumerate(cases):
+        assert got[i] == py(t), (i, t)

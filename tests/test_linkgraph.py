@@ -241,3 +241,65 @@ def test_weight_one_reduces_to_unweighted(spark, graph):
         ).collect()
     }
     assert plain == weighted
+
+
+# --------------------------------------------------------------------
+# HITS
+# --------------------------------------------------------------------
+
+
+def _py_hits(nodes, edges, rounds):
+    M = 1_000_000
+    h = {n: M for n in nodes}
+    a = {}
+    for _ in range(rounds):
+        raw_a = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw_a[d] += h[s]
+        mx = max(raw_a.values(), default=0)
+        a = {n: v // max(mx // M, 1) for n, v in raw_a.items()}
+        raw_h = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw_h[s] += a[d]
+        mx = max(raw_h.values(), default=0)
+        h = {n: v // max(mx // M, 1) for n, v in raw_h.items()}
+    return h, a
+
+
+def test_hits_matches_python_oracle(spark, graph):
+    from website_indexer_spark.operators.linkgraph import hits_exact
+
+    nodes, edges = graph
+    for rounds in (1, 3):
+        want_h, want_a = _py_hits(NODES, EDGES, rounds)
+        got = {
+            r["node"]: (r["hub_micro"], r["auth_micro"])
+            for r in hits_exact(nodes, edges, rounds=rounds).collect()
+        }
+        assert got == {
+            n: (want_h[n], want_a[n]) for n in NODES
+        }, rounds
+
+
+def test_hits_isolated_and_dangling(spark, graph):
+    from website_indexer_spark.operators.linkgraph import hits_exact
+
+    nodes, edges = graph
+    got = {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits_exact(nodes, edges, rounds=2).collect()
+    }
+    # isolated node 5: zero both ways; dangling node 4: zero hub,
+    # nonzero authority (3 links to it)
+    assert got[5] == (0, 0)
+    assert got[4][0] == 0 and got[4][1] > 0
+
+
+def test_hits_plan_no_cartesian(spark, graph):
+    from website_indexer_spark.operators.linkgraph import hits_exact
+
+    nodes, edges = graph
+    out = hits_exact(nodes, edges, rounds=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -137,3 +137,16 @@ def test_plan_one_corpus_exchange_broadcast_map(spark):
     # hops remain
     assert plan.count("Exchange hashpartitioning") == 0
     assert "Exchange SinglePartition" in plan
+
+
+def test_negative_values_order_correctly(spark):
+    values = [-5, -5, -1, 0, 3, 3, 7, 8, 9]
+    want = _py_buckets(values)
+    got = {
+        r["score"]: r["bucket"]
+        for r in bucket_by_value_quantiles(
+            _df(spark, values), "score"
+        ).collect()
+    }
+    assert got == want
+    assert got[-5] == "head" and got[9] == "tail"

@@ -405,6 +405,19 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "hits": [
+        ("both edge orientations are cached (src- and dst-"
+         "partitioned) — consumed from InMemoryTableScan every "
+         "half-step, so rounds exchange only node-sized scores",
+         lambda p: p.count("InMemoryTableScan") >= 6),
+        ("fan-in/fan-out sums partial-aggregate before their "
+         "exchanges; max-rescale attaches as a 1-row broadcast",
+         lambda p: "partial" in p.lower()
+         and "BroadcastNestedLoopJoin" in p),
+        ("never cartesian, no Python",
+         lambda p: "CartesianProduct" not in p
+         and "EvalPython" not in p),
+    ],
     "link_degrees": [
         ("one tagged union + one partial-aggregated exchange keyed "
          "by node",

@@ -201,3 +201,126 @@ def pagerank_exact(
     return ranks.select(
         F.col("_node").alias(node_col), F.col("_pr").alias("pr_micro")
     )
+
+
+HITS_INIT_MICRO = 1_000_000
+
+
+def hits_exact(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    partitions: int = 0,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999): hub and authority scores
+    over the same link graph PageRank ranks — a page is a good HUB if
+    it links to good authorities, a good AUTHORITY if good hubs link
+    to it. The classic mutual-reinforcement pair:
+
+        a'_j = SUM over edges i->j of h_i       (authority update)
+        h'_i = SUM over edges i->j of a'_j      (hub update)
+
+    with a normalization after each half-step. Float HITS normalizes
+    by the L2 norm — engine-dependent in the last ulp, ungateable.
+    The integer protocol here rescales so the MAX score returns to
+    the micro unit:
+
+        x_i <- x_raw_i div greatest(max(x_raw) div 1_000_000, 1)
+
+    div-first (never multiply-first) so no intermediate exceeds
+    max(x_raw) — overflow-free for any graph whose raw sums fit a
+    bigint, which the per-round rescale itself guarantees (raw sums
+    are bounded by in_degree * 1e6 per round). max() of bigints is
+    engine-exact, so every round — and therefore the whole fixed
+    point — hashes identically on any engine. Scores are relative
+    (max = 1e6) which is all HITS ranking semantics promise.
+
+    Scale shape: the edge list is cached TWICE, pre-partitioned on
+    src (for the authority step's h-lookup) and on dst (for the hub
+    step's a-lookup) — 2x edge storage buys zero edge-sized
+    exchanges per round; only node-sized score frames and 1-row max
+    aggregates move. The same trade GraphX makes with its
+    routing-table replication. Dangling/unreferenced nodes keep
+    score 0 via the closing LEFT joins.
+    """
+    n_parts = int(
+        partitions
+        or edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    e_by_src = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .repartition(n_parts, F.col("_src"))
+        .persist()
+    )
+    e_by_dst = e_by_src.repartition(n_parts, F.col("_dst")).persist()
+    hubs = nodes.select(
+        F.col(node_col).alias("_node"),
+        F.lit(HITS_INIT_MICRO).cast("long").alias("_h"),
+    )
+
+    def _rescale(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(
+            F.coalesce(F.max(col), F.lit(0)).alias("_mx")
+        )
+        return (
+            df.crossJoin(F.broadcast(mx))
+            .select(
+                "_node",
+                F.expr(
+                    f"{col} div greatest(_mx div {HITS_INIT_MICRO}, 1L)"
+                ).alias(col),
+            )
+        )
+
+    auths = None
+    for i in range(rounds):
+        a_raw = (
+            e_by_src.join(hubs, e_by_src["_src"] == hubs["_node"])
+            .select(F.col("_dst"), F.col("_h"))
+            .groupBy("_dst")
+            .agg(F.sum("_h").alias("_a"))
+        )
+        auths = _rescale(
+            nodes.select(F.col(node_col).alias("_node"))
+            .join(a_raw, F.col("_node") == F.col("_dst"), "left")
+            .select(
+                "_node", F.coalesce("_a", F.lit(0).cast("long")).alias("_a")
+            ),
+            "_a",
+        )
+        h_raw = (
+            e_by_dst.join(auths, e_by_dst["_dst"] == auths["_node"])
+            .select(F.col("_src"), F.col("_a"))
+            .groupBy("_src")
+            .agg(F.sum("_a").alias("_h"))
+        )
+        hubs = _rescale(
+            nodes.select(F.col(node_col).alias("_node"))
+            .join(h_raw, F.col("_node") == F.col("_src"), "left")
+            .select(
+                "_node", F.coalesce("_h", F.lit(0).cast("long")).alias("_h")
+            ),
+            "_h",
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < rounds:
+            hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
+    return (
+        hubs.join(
+            auths.select(
+                F.col("_node").alias("_n2"), F.col("_a")
+            ),
+            hubs["_node"] == F.col("_n2"),
+        )
+        .select(
+            F.col("_node").alias(node_col),
+            F.col("_h").alias("hub_micro"),
+            F.col("_a").alias("auth_micro"),
+        )
+    )

@@ -2632,9 +2632,26 @@ def q_host_pagerank(spark, sf):
     )
 
 
+HITS_ROUNDS = 3
+
+
+def q_hits(spark, sf):
+    """Integer-exact HITS hubs/authorities (linkgraph.hits_exact):
+    3 mutual-reinforcement rounds with the div-first max-rescale
+    normalization — every intermediate a bigint, so the fixed point
+    hashes identically on any engine."""
+    docs = _t(spark, sf, "documents")
+    nodes = docs.select("doc_id")
+    edges = links_from_documents(docs, docs.count())
+    return linkgraph.hits_exact(
+        nodes, edges, rounds=HITS_ROUNDS, node_col="doc_id"
+    )
+
+
 SPARK_QUERIES["link_degrees"] = q_link_degrees
 SPARK_QUERIES["pagerank"] = q_pagerank
 SPARK_QUERIES["host_pagerank"] = q_host_pagerank
+SPARK_QUERIES["hits"] = q_hits
 
 _LINKGRAPH_CTE = """pr_n AS (SELECT count(*) AS n FROM documents),
 pr_e AS (
@@ -2722,6 +2739,55 @@ hp_r{k + 1} AS (
 
 
 ORACLE_SQL["host_pagerank"] = _host_pagerank_sql()
+
+
+def _hits_sql(rounds: int = HITS_ROUNDS) -> str:
+    """Mirrors hits_exact stage for stage: raw sums, LEFT-join-0 for
+    unreferenced nodes, div-first max rescale — all bigints."""
+    sql = (
+        "WITH "
+        + _LINKGRAPH_CTE
+        + """,
+ht_n AS (SELECT doc_id AS node FROM documents),
+ht_h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM ht_n)"""
+    )
+    for k in range(rounds):
+        sql += f""",
+ht_ar{k} AS (
+  SELECT e.dst AS node, CAST(sum(h.v) AS BIGINT) AS raw
+  FROM pr_e e JOIN ht_h{k} h ON h.node = e.src GROUP BY e.dst
+),
+ht_af{k} AS (
+  SELECT n.node, coalesce(r.raw, 0) AS raw
+  FROM ht_n n LEFT JOIN ht_ar{k} r USING (node)
+),
+ht_am{k} AS (SELECT coalesce(max(raw), 0) AS mx FROM ht_af{k}),
+ht_a{k + 1} AS (
+  SELECT node,
+         CAST(raw // greatest(mx // 1000000, 1) AS BIGINT) AS v
+  FROM ht_af{k} CROSS JOIN ht_am{k}
+),
+ht_hr{k} AS (
+  SELECT e.src AS node, CAST(sum(a.v) AS BIGINT) AS raw
+  FROM pr_e e JOIN ht_a{k + 1} a ON a.node = e.dst GROUP BY e.src
+),
+ht_hf{k} AS (
+  SELECT n.node, coalesce(r.raw, 0) AS raw
+  FROM ht_n n LEFT JOIN ht_hr{k} r USING (node)
+),
+ht_hm{k} AS (SELECT coalesce(max(raw), 0) AS mx FROM ht_hf{k}),
+ht_h{k + 1} AS (
+  SELECT node,
+         CAST(raw // greatest(mx // 1000000, 1) AS BIGINT) AS v
+  FROM ht_hf{k} CROSS JOIN ht_hm{k}
+)"""
+    return sql + f"""
+SELECT h.node AS doc_id, h.v AS hub_micro, a.v AS auth_micro
+FROM ht_h{rounds} h JOIN ht_a{rounds} a USING (node)
+"""
+
+
+ORACLE_SQL["hits"] = _hits_sql()
 
 ORACLE_SQL["link_degrees"] = (
     "WITH "
