@@ -405,6 +405,18 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "anf_sketch": [
+        ("per-round state rides checkpointed frames (the flood's "
+         "partial bit_or runs inside those jobs — plan-asserted by "
+         "test_anf.py with checkpointing off); the statistic fold "
+         "stays hash-aggregated integer arithmetic",
+         lambda p: "Scan ExistingRDD" in p
+         and "bit_count" in p
+         and "SortAggregate" not in p),
+        ("no Python, never cartesian",
+         lambda p: "EvalPython" not in p
+         and "CartesianProduct" not in p),
+    ],
     "hits": [
         ("both edge orientations are cached (src- and dst-"
          "partitioned) — consumed from InMemoryTableScan every "

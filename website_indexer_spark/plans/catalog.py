@@ -2653,6 +2653,38 @@ SPARK_QUERIES["pagerank"] = q_pagerank
 SPARK_QUERIES["host_pagerank"] = q_host_pagerank
 SPARK_QUERIES["hits"] = q_hits
 
+
+def q_anf_sketch(spark, sf):
+    """ANF neighborhood sketches (operators/anf.py): FM bitmap flood
+    along out-edges, 3 rounds — the gate emits the integer
+    sufficient statistic s per (node, round)."""
+    from website_indexer_spark.operators import anf
+
+    docs = _t(spark, sf, "documents")
+    nodes = docs.select("doc_id")
+    edges = links_from_documents(docs, docs.count())
+    return anf.anf_neighborhood_stats(
+        nodes, edges, rounds=3, node_col="doc_id"
+    )
+
+
+def q_harmonic_centrality(spark, sf):
+    """HyperBall harmonic-centrality estimate from the ANF flood —
+    rows-only (the 2^(s/R) estimator is libm float); the integer
+    sketch itself is the hash-gated artifact (anf_sketch)."""
+    from website_indexer_spark.operators import anf
+
+    docs = _t(spark, sf, "documents")
+    nodes = docs.select("doc_id")
+    edges = links_from_documents(docs, docs.count())
+    return anf.harmonic_centrality(
+        nodes, edges, rounds=3, node_col="doc_id"
+    )
+
+
+SPARK_QUERIES["anf_sketch"] = q_anf_sketch
+SPARK_QUERIES["harmonic_centrality"] = q_harmonic_centrality
+
 _LINKGRAPH_CTE = """pr_n AS (SELECT count(*) AS n FROM documents),
 pr_e AS (
   SELECT src, dst FROM (
@@ -2788,6 +2820,57 @@ FROM ht_h{rounds} h JOIN ht_a{rounds} a USING (node)
 
 
 ORACLE_SQL["hits"] = _hits_sql()
+
+ANF_GATE_ROUNDS = 3
+
+
+def _anf_sql(rounds: int = ANF_GATE_ROUNDS, registers: int = 16) -> str:
+    """Mirrors anf_neighborhood_stats bit for bit: md5-32 seeds,
+    trailing-zero rho, bit_or flood, lowest-unset-bit statistic —
+    every operation exact bigint/bit arithmetic in both engines."""
+    digit = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    h32 = " + ".join(
+        f"{digit.format(i=i)} * {16 ** (8 - i)}" for i in range(1, 9)
+    )
+    sql = (
+        "WITH "
+        + _LINKGRAPH_CTE
+        + f""",
+an_h AS (
+  SELECT doc_id AS node, r.reg,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r.reg AS VARCHAR)) AS h
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, {registers - 1})) AS reg) r
+), an_rho AS (
+  SELECT node, reg, CAST({h32} AS BIGINT) AS hv FROM an_h
+), an_st0 AS (
+  SELECT node, reg,
+         (CAST(1 AS BIGINT) << CAST(least(
+            CASE WHEN hv = 0 THEN 32
+                 ELSE bit_count((hv & -hv) - 1) END, 62) AS INT)) AS bits
+  FROM an_rho
+)"""
+    )
+    for t in range(1, rounds + 1):
+        sql += f""",
+an_st{t} AS (
+  SELECT node, reg, bit_or(bits) AS bits FROM (
+    SELECT node, reg, bits FROM an_st{t - 1}
+    UNION ALL
+    SELECT e.src AS node, s.reg, s.bits
+    FROM pr_e e JOIN an_st{t - 1} s ON s.node = e.dst
+  ) GROUP BY node, reg
+)"""
+    levels = "\nUNION ALL\n".join(
+        f"""SELECT node AS doc_id, CAST({t} AS INT) AS round,
+       CAST(sum(bit_count(((~bits) & (bits + 1)) - 1)) AS BIGINT) AS s
+FROM an_st{t} GROUP BY node"""
+        for t in range(1, rounds + 1)
+    )
+    return sql + "\n" + levels
+
+
+ORACLE_SQL["anf_sketch"] = _anf_sql()
 
 ORACLE_SQL["link_degrees"] = (
     "WITH "
