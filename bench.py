@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "crawl_delay_budgets",
     "dsir_logratio",
     "ccnet_buckets",
+    "anf_sketch",
     "recrawl_schedule",
     "recrawl_frontier",
     "encoding_filter",

@@ -150,3 +150,36 @@ def test_negative_values_order_correctly(spark):
     }
     assert got == want
     assert got[-5] == "head" and got[9] == "tail"
+
+
+def test_per_group_thirds_and_null_group(spark):
+    """Per-group quantiles: each group gets its own exact split, and
+    a NULL group is a real group (null-safe map join — the
+    stratified-sampling three-valued-logic lesson)."""
+    rows = []
+    for i, v in enumerate(range(1, 10)):          # group a: 1..9
+        rows.append((i, "a", v))
+    for i, v in enumerate(range(10, 16)):         # group b: 10..15
+        rows.append((100 + i, "b", v))
+    for i, v in enumerate([7, 8, 9]):             # NULL group
+        rows.append((200 + i, None, v))
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp string, score long"
+    )
+    out = bucket_by_value_quantiles(
+        df, "score", group_cols=["grp"]
+    ).collect()
+    assert len(out) == len(rows)  # nothing dropped, incl. NULL grp
+    by = {(r["grp"], r["score"]): r["bucket"] for r in out}
+    # group a: 9 values -> perfect thirds
+    assert [by[("a", v)] for v in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # group b: 6 values -> 2/2/2
+    assert [by[("b", v)] for v in range(10, 16)] == (
+        ["head"] * 2 + ["middle"] * 2 + ["tail"] * 2
+    )
+    # NULL group: 3 values -> 1/1/1, split independently of a/b
+    assert [by[(None, v)] for v in (7, 8, 9)] == [
+        "head", "middle", "tail"
+    ]

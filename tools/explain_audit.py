@@ -652,16 +652,25 @@ CHECKS = {
          lambda p: "BroadcastHashJoin" in p
          and p.count("Exchange hashpartitioning") == 0
          and "SortMergeJoin" not in p),
-        ("the CDF window's input subtree is the checkpointed "
-         "histogram (Scan ExistingRDD), never a parquet scan",
+        ("the CDF window's input subtree (plan tree below the first "
+         "Window) is the checkpointed histogram, never a parquet "
+         "scan",
          lambda p: "Scan ExistingRDD"
-         in p.split("Window (", 1)[-1].split("BroadcastExchange", 1)[0]
+         in p.split("\n\n(", 1)[0].split("Window (", 1)[-1]
          and "Scan parquet"
-         not in p.split("Window (", 1)[-1].split("BroadcastExchange", 1)[0]),
+         not in p.split("\n\n(", 1)[0].split("Window (", 1)[-1]),
         ("no Python, never cartesian (the totals attach is a 1-row "
          "broadcast cross)",
          lambda p: "EvalPython" not in p
          and "CartesianProduct" not in p),
+    ],
+    "quantile_buckets_by_lang": [
+        ("per-group form keeps the shape: broadcast map join (now "
+         "null-safe on every key), no shuffle join, no corpus "
+         "re-exchange in the visible plan",
+         lambda p: "BroadcastHashJoin" in p
+         and "SortMergeJoin" not in p
+         and p.count("Exchange hashpartitioning") == 0),
     ],
     "ccnet_buckets": [
         ("the LM scoring join stays broadcast and the bucket map "

@@ -179,8 +179,12 @@ def run_level(cpus: int, fat_dir: str) -> dict:
     # the shipped bench default): with only cpus-matched partitions a
     # 4-core stage is exactly 2 waves and any straggler idles cores —
     # a task-quantization artifact, not a scaling property
+    # 8g driver heap: the graph-sketch ops cache both edge
+    # orientations and ANF's flood joins E x R rows per round —
+    # the default heap OOMs at the 10M-edge replica
     spark = build_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
-                        shuffle_partitions=32)
+                        shuffle_partitions=32,
+                        extra_conf={"spark.driver.memory": "8g"})
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(fat_dir)
     ops = {
@@ -290,6 +294,29 @@ def run_level(cpus: int, fat_dir: str) -> dict:
     from website_indexer_spark.operators.quantiles import ccnet_buckets
 
     ops.update({"ccnet_buckets": lambda: ccnet_buckets(docs)})
+    # graph-sketch ops over the fat replica edge list
+    from website_indexer_spark.operators.anf import (
+        anf_neighborhood_stats,
+    )
+    from website_indexer_spark.operators.linkgraph import hits_exact
+
+    nodes_df = docs.select("doc_id")
+    ops.update(
+        {
+            "anf_sketch": lambda: anf_neighborhood_stats(
+                nodes_df,
+                spark.read.parquet(fat_dir + "_edgesfat"),
+                rounds=3,
+                node_col="doc_id",
+            ),
+            "hits": lambda: hits_exact(
+                nodes_df,
+                spark.read.parquet(fat_dir + "_edgesfat"),
+                rounds=3,
+                node_col="doc_id",
+            ),
+        }
+    )
     # host-level PageRank: contraction + weighted rounds over the
     # materialized edge list and the docs-derived host map
     from website_indexer_spark.operators.linkgraph import (

@@ -46,32 +46,44 @@ def value_bucket_map(
     value_col: str,
     cuts: Sequence[tuple[int, int]] = DEFAULT_CUTS,
     labels: Sequence[str] = DEFAULT_LABELS,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """(value, bucket) — the histogram-sized quantile-bucket lookup
-    table (module docstring for the protocol). ``cuts`` are rational
-    fractions (num, den), strictly increasing; ``labels`` has
-    len(cuts)+1 entries."""
+    """([*group_cols,] value, bucket) — the histogram-sized
+    quantile-bucket lookup table (module docstring for the protocol).
+    ``cuts`` are rational fractions (num, den), strictly increasing;
+    ``labels`` has len(cuts)+1 entries.
+
+    With ``group_cols`` the quantiles are PER GROUP (CCNet's split is
+    per language, not global): the histogram keys on (group, value),
+    the CDF window partitions by group — still bounded by the
+    histogram, now per group — and each group's cut counts use its
+    own windowed total, so every group gets its own exact thirds.
+    """
     if len(labels) != len(cuts) + 1:
         raise ValueError("need len(cuts)+1 labels")
     from pyspark.sql import Window
 
+    group_cols = list(group_cols)
     # lazily checkpointed (the lmscore pattern): the CDF and the
-    # total both derive from the histogram — without this Catalyst
+    # totals both derive from the histogram — without this Catalyst
     # re-derives each branch from the corpus scan and the corpus is
     # exchanged twice
     hist = (
-        df.groupBy(F.col(value_col).alias("_v"))
+        df.groupBy(
+            *[F.col(c) for c in group_cols],
+            F.col(value_col).alias("_v"),
+        )
         .agg(F.count("*").alias("_c"))
         .localCheckpoint(eager=False)
     )
-    # running sum over the bounded histogram: one task, |V| rows —
-    # NOT the corpus (the empty-frame Window is safe here and only
-    # here; the corpus-sized side never sees it)
+    # running sums over the bounded histogram — NOT the corpus (the
+    # ungrouped form is a single |V|-row task; the grouped form
+    # partitions by group and stays histogram-sized per group)
+    w_cdf = Window.partitionBy(*group_cols).orderBy("_v")
+    w_tot = Window.partitionBy(*group_cols)
     cdf = hist.withColumn(
-        "_cum", F.sum("_c").over(Window.orderBy("_v"))
-    )
-    totals = hist.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"))
-    cdf = cdf.crossJoin(F.broadcast(totals))
+        "_cum", F.sum("_c").over(w_cdf)
+    ).withColumn("_n", F.sum("_c").over(w_tot))
     bucket = F.lit(labels[-1])
     for (num, den), label in zip(reversed(cuts), reversed(labels[:-1])):
         cut_count = F.expr(f"(_n * {int(num)}) div {int(den)}")
@@ -79,7 +91,7 @@ def value_bucket_map(
             bucket
         )
     return cdf.select(
-        F.col("_v").alias(value_col), bucket.alias("bucket")
+        *group_cols, F.col("_v").alias(value_col), bucket.alias("bucket")
     )
 
 
@@ -88,12 +100,30 @@ def bucket_by_value_quantiles(
     value_col: str,
     cuts: Sequence[tuple[int, int]] = DEFAULT_CUTS,
     labels: Sequence[str] = DEFAULT_LABELS,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """``df`` + a ``bucket`` column assigning each row its exact
-    quantile bucket. One corpus exchange (the histogram's partial
-    aggregate); the value->bucket map joins back via broadcast."""
-    bmap = value_bucket_map(df, value_col, cuts, labels)
-    return df.join(F.broadcast(bmap), value_col)
+    (per-group) quantile bucket. One corpus exchange (the histogram's
+    partial aggregate); the (group, value)->bucket map joins back via
+    broadcast.
+
+    The map join is NULL-SAFE on every key (eqNullSafe): a NULL
+    group (unknown language) or NULL value is its own histogram row
+    and must rejoin its bucket instead of silently dropping — the
+    stratified-sampling three-valued-logic lesson applied by
+    construction."""
+    bmap = value_bucket_map(df, value_col, cuts, labels, group_cols)
+    keys = [*group_cols, value_col]
+    bmap = bmap.select(
+        *[F.col(c).alias(f"_bm_{c}") for c in keys], "bucket"
+    )
+    cond = None
+    for c in keys:
+        clause = df[c].eqNullSafe(F.col(f"_bm_{c}"))
+        cond = clause if cond is None else cond & clause
+    return df.join(F.broadcast(bmap), cond).drop(
+        *[f"_bm_{c}" for c in keys]
+    )
 
 
 def ccnet_buckets(

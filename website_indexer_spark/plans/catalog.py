@@ -877,6 +877,23 @@ def q_quantile_buckets(spark, sf):
     )
 
 
+def q_quantile_buckets_by_lang(spark, sf):
+    """Per-group exact quantiles (CCNet splits per LANGUAGE): the
+    histogram keys on (lang, value) and each language gets its own
+    exact thirds — still one corpus exchange, still no sort of
+    data."""
+    from website_indexer_spark.operators.quantiles import (
+        bucket_by_value_quantiles,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return bucket_by_value_quantiles(
+        docs, "n_chars", group_cols=["lang"]
+    ).select("doc_id", "lang", "n_chars", "bucket")
+
+
 def q_ccnet_buckets(spark, sf):
     """The CCNet head/middle/tail split proper: corpus-self-trained
     LM score cut into exact thirds (ties never split; straddling tie
@@ -1017,6 +1034,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "lm_logloss": q_lm_logloss,
     "lm_head": q_lm_head,
     "quantile_buckets": q_quantile_buckets,
+    "quantile_buckets_by_lang": q_quantile_buckets_by_lang,
     "ccnet_buckets": q_ccnet_buckets,
     "dsir_model": q_dsir_model,
     "dsir_logratio": q_dsir_logratio,
@@ -1850,6 +1868,26 @@ SELECT d.doc_id, d.n_chars, m.bucket
 FROM documents d JOIN qmap m ON m.v = d.n_chars
 """
 )
+
+ORACLE_SQL["quantile_buckets_by_lang"] = r"""
+WITH qh AS (
+  SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, n_chars
+), qcdf AS (
+  SELECT lang, v,
+         CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM qh
+), qmap AS (
+  SELECT lang, v, CASE WHEN cum <= (n * 1) // 3 THEN 'head'
+                       WHEN cum <= (n * 2) // 3 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+  FROM qcdf
+)
+SELECT d.doc_id, d.lang, d.n_chars, m.bucket
+FROM documents d
+JOIN qmap m ON m.lang IS NOT DISTINCT FROM d.lang AND m.v = d.n_chars
+"""
 
 ORACLE_SQL["ccnet_buckets"] = (
     "WITH lm AS ("
