@@ -303,15 +303,19 @@ def run_level(cpus: int, fat_dir: str) -> dict:
     nodes_df = docs.select("doc_id")
     ops.update(
         {
+            # 10x replica (~2M edges), not the 50x one: ANF's flood
+            # joins E x R rows per round (R=16), so 10M edges is
+            # 160M-row rounds — local[1] grinds for tens of minutes
+            # and the measurement is all one level's patience
             "anf_sketch": lambda: anf_neighborhood_stats(
                 nodes_df,
-                spark.read.parquet(fat_dir + "_edgesfat"),
+                spark.read.parquet(fat_dir + "_edges10"),
                 rounds=3,
                 node_col="doc_id",
             ),
             "hits": lambda: hits_exact(
                 nodes_df,
-                spark.read.parquet(fat_dir + "_edgesfat"),
+                spark.read.parquet(fat_dir + "_edges10"),
                 rounds=3,
                 node_col="doc_id",
             ),

@@ -263,6 +263,14 @@ def hits_exact(
     )
 
     def _rescale(df: DataFrame, col: str) -> DataFrame:
+        # lazily checkpoint the raw scores FIRST: the max aggregate
+        # and the rescaled output both consume this frame, and each
+        # round's authorities feed BOTH the hub update and the final
+        # join — without the cut, every rescale doubles the plan tree
+        # and an r-round run recomputes round 1 ~4^r times (measured:
+        # 287 s -> seconds on a 2M-edge graph). Values are exact
+        # integers, so the checkpoint can never change the result.
+        df = df.localCheckpoint(eager=False)
         mx = df.agg(
             F.coalesce(F.max(col), F.lit(0)).alias("_mx")
         )
