@@ -941,6 +941,39 @@ def q_dsir_head(spark, sf):
     )
 
 
+def q_dedup_stream(spark, sf):
+    """Streaming incremental dedup (streaming/dedup_stream.py): the
+    documents table replayed as three waves (doc_id % 3) through the
+    foreachBatch skin — in-batch min-id dedup, then the
+    storage-partitioned hash-layout anti-join. The accepted table
+    must equal the cumulative first-wave-wins relation the oracle
+    states directly."""
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    from website_indexer_spark.streaming.dedup_stream import (
+        DedupStreamStore,
+        dedup_stream_step,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    tag = hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:10]
+    out = _os.path.join(
+        tempfile.gettempdir(), f"wi_spark_dedup_stream_{tag}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    step = dedup_stream_step(out)
+    for wave in range(3):
+        step(docs.where(F.col("doc_id") % 3 == wave), wave)
+    return (
+        DedupStreamStore(out)
+        .read_accepted(spark)
+        .select("doc_id", "source")
+    )
+
+
 def q_incremental_dedup(spark, sf):
     """Cross-dump dedup (operators/dedup.py::dedup_against_snapshot):
     docs with doc_id % 3 == 0 play the published snapshot, the rest
@@ -1040,6 +1073,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "dsir_logratio": q_dsir_logratio,
     "dsir_head": q_dsir_head,
     "incremental_dedup": q_incremental_dedup,
+    "dedup_stream": q_dedup_stream,
     "host_stats": q_host_stats,
     "host_filter": q_host_filter,
 }
@@ -1899,6 +1933,23 @@ SELECT lm.doc_id, lm.n_tokens, lm.logloss_milli, m.bucket
 FROM lm JOIN qmap m ON m.v = lm.logloss_milli
 """
 )
+
+# dedup_stream: cumulative first-wave-wins stated directly as SQL —
+# a doc survives iff it is its wave's min id for its text AND its
+# wave is the first wave containing that text.
+ORACLE_SQL["dedup_stream"] = r"""
+WITH w AS (
+  SELECT doc_id, source, text, doc_id % 3 AS wave FROM documents
+), f AS (
+  SELECT text, wave, min(doc_id) AS doc_id
+  FROM w GROUP BY text, wave
+), fw AS (
+  SELECT text, min(wave) AS wave FROM w GROUP BY text
+)
+SELECT d.doc_id, d.source
+FROM f JOIN fw USING (text, wave)
+JOIN w d ON d.doc_id = f.doc_id
+"""
 
 # dsir_model / dsir_logratio / dsir_head: the hashed-bigram
 # importance model. Bucket id mirrors Spark's
