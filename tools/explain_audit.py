@@ -418,10 +418,13 @@ CHECKS = {
          and "CartesianProduct" not in p),
     ],
     "hits": [
-        ("both edge orientations are cached (src- and dst-"
-         "partitioned) — consumed from InMemoryTableScan every "
-         "half-step, so rounds exchange only node-sized scores",
-         lambda p: p.count("InMemoryTableScan") >= 6),
+        ("the visible plan consumes ONLY checkpointed node-sized "
+         "score frames (Scan ExistingRDD, no parquet rescan) — the "
+         "per-rescale lineage cut that killed the 4^r recompute "
+         "(BENCH/NOTES.md graph-sketch batch); edge caching is "
+         "inside the checkpoint jobs",
+         lambda p: "Scan ExistingRDD" in p
+         and "Scan parquet" not in p),
         ("fan-in/fan-out sums partial-aggregate before their "
          "exchanges; max-rescale attaches as a 1-row broadcast",
          lambda p: "partial" in p.lower()
