@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "stratified_sample",
     "mixture_sample",
+    "mixture_pack",
     "repetition_stats",
     "repetition_filter",
     "gopher_stats",

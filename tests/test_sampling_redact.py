@@ -349,3 +349,38 @@ def test_mixture_sample_explicit_counts_and_empty(spark):
     assert mixture_sample(
         df, "source", "doc_id", target_rows=10, source_counts={}
     ).count() == 0
+
+
+def test_mixture_pack_composition(spark):
+    """mixture_sample -> pack_documents -> shard_manifest composes as
+    one plan whose manifest mass equals the sampled docs' token sum
+    and whose only exchanges are the mixture's count and the pack's
+    bucket hop."""
+    from pyspark.sql import functions as F
+
+    from website_indexer_spark.operators import packing
+    from website_indexer_spark.operators.sampling import mixture_sample
+    from website_indexer_spark.functions.textstats import (
+        whitespace_token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"lang{i % 3}", " ".join(["tok"] * (5 + i % 7)))
+            for i in range(120)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    mixed = mixture_sample(
+        docs, source_col="lang", key_col="doc_id", target_rows=60
+    )
+    manifest = packing.shard_manifest(packing.pack_documents(mixed))
+    rows = manifest.collect()
+    total = sum(r["shard_tokens"] for r in rows)
+    expect = (
+        mixed.select(
+            F.sum(whitespace_token_count(F.col("text"))).alias("s")
+        ).collect()[0]["s"]
+    )
+    assert total == expect
+    assert sum(r["n_docs"] for r in rows) == mixed.count()

@@ -648,6 +648,17 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "EvalPython" not in p),
     ],
+    "mixture_pack": [
+        ("the composed mixture->pack->manifest stays one plan: the "
+         "mixture is a literal-map filter (no corpus exchange of its "
+         "own) and the manifest reuses the pack's bucket "
+         "partitioning — text never shuffles",
+         lambda p: "text" not in
+         p.split(") Exchange\n", 1)[-1].split("]", 1)[0]
+         and "CartesianProduct" not in p),
+        ("window packing partial-folds per bucket; no Python",
+         lambda p: "Window" in p and "EvalPython" not in p),
+    ],
     "quantile_buckets": [
         ("the corpus never re-exchanges in the visible plan: the "
          "histogram is a checkpointed frame and the value->bucket "

@@ -405,6 +405,22 @@ def q_stratified_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_mixture_pack(spark, sf):
+    """Composition: temperature mixture → token-budget shard packing
+    → shard manifest, as ONE Catalyst plan — the corpus-to-shards
+    delivery path of a training-data pipeline (re-weight sources,
+    then cut the accepted stream into budgeted shards). Both stages
+    keep their integer-exact protocols, so the composed manifest
+    hash-matches a single DuckDB query."""
+    mixed = sampling.mixture_sample(
+        _t(spark, sf, "documents"),
+        source_col="lang",
+        key_col="doc_id",
+        target_rows=250,
+    )
+    return packing.shard_manifest(packing.pack_documents(mixed))
+
+
 def q_mixture_sample(spark, sf):
     """Temperature-0.5 mixture sample (Pile/LLaMA-style source
     re-weighting) over the skewed lang distribution: per-lang keep
@@ -1036,6 +1052,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "mixture_sample": q_mixture_sample,
+    "mixture_pack": q_mixture_pack,
     "pii_scrub": q_pii_scrub,
     "topk_terms": q_topk_terms,
     "media_meta": q_media_meta,
@@ -1830,6 +1847,42 @@ FROM pk_cum
 
 ORACLE_SQL["doc_pack"] = _PACK_SQL.format(
     buckets=packing.DEFAULT_BUCKETS, budget=packing.DEFAULT_BUDGET
+)
+
+# mixture_pack: the mixture CTEs feed the pack CTEs as relation
+# `mixed` — one composed DuckDB query mirroring the one Spark plan.
+ORACLE_SQL["mixture_pack"] = (
+    r"""WITH mx_c AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+), mx_w AS (
+  SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM mx_c
+), mx_thr AS (
+  SELECT lang,
+         CAST(least(65536, (65536 * 250 * w) // ((SELECT sum(w) FROM mx_w) * n))
+              AS BIGINT) AS thr
+  FROM mx_w
+), mixed AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN mx_thr t ON d.lang = t.lang
+  WHERE t.thr >= 65536
+     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', t.thr)
+), """
+    + _PACK_SQL.format(
+        buckets=packing.DEFAULT_BUCKETS, budget=packing.DEFAULT_BUDGET
+    )
+    .replace("FROM documents", "FROM mixed")
+    .replace("WITH pk_slim", "pk_slim", 1)
+    .replace(
+        "SELECT doc_id, bucket,\n       CAST(floor(",
+        ", pk_rows AS (SELECT doc_id, bucket,\n       CAST(floor(",
+        1,
+    )
+    + r""")
+SELECT bucket, shard_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+FROM pk_rows GROUP BY bucket, shard_id
+"""
 )
 ORACLE_SQL["shard_manifest"] = (
     "SELECT bucket, shard_id, count(*) AS n_docs, "
