@@ -125,3 +125,44 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and an empty edge list converges trivially (no raise, no rows)
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty, max_rounds=1).count() == 0
+
+
+def test_host_components_on_hand_graph(spark):
+    """Host-graph CC composition (catalog q_host_components shape):
+    contract page edges to hosts, run CC on stable host ids, map
+    back — two islands + a singleton."""
+    from pyspark.sql import functions as F
+
+    from website_indexer_spark.operators.clusters import assign_clusters
+    from website_indexer_spark.operators.linkgraph import (
+        contract_to_hosts,
+    )
+
+    hosts = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "c"), (4, "c"), (5, "d"),
+         (6, "e")],
+        ["doc_id", "host"],
+    )
+    # pages: a<->b linked, c<->d linked, e isolated
+    edges = spark.createDataFrame(
+        [(0, 2), (2, 1), (3, 5), (5, 4)], ["src", "dst"]
+    )
+    hid = hosts.groupBy("host").agg(F.min("doc_id").alias("hid"))
+    hedges = contract_to_hosts(edges, hosts, node_col="doc_id")
+    pair_ids = (
+        hedges.join(hid.select(F.col("host").alias("src"),
+                               F.col("hid").alias("doc_a")), "src")
+        .join(hid.select(F.col("host").alias("dst"),
+                         F.col("hid").alias("doc_b")), "dst")
+        .select("doc_a", "doc_b")
+    )
+    comp = assign_clusters(
+        hid.select(F.col("hid").alias("doc_id")), pair_ids
+    )
+    got = {
+        r["host"]: r["cluster_id"]
+        for r in hid.join(
+            comp.withColumnRenamed("doc_id", "hid"), "hid"
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 0, "c": 3, "d": 3, "e": 6}

@@ -2790,10 +2790,55 @@ def q_hits(spark, sf):
     )
 
 
+def q_host_components(spark, sf):
+    """Connected components over the contracted host graph — the
+    second standard domain-graph analysis next to host_pagerank
+    (mirror networks, site families, link farms all surface as
+    components). Hosts get stable numeric ids (min member doc_id —
+    deterministic and engine-mirrorable), the undirected star-
+    contraction CC runs on the host-id edge list, and singleton
+    hosts map to themselves."""
+    docs = _t(spark, sf, "documents")
+    edges = links_from_documents(docs, docs.count())
+    hosts = docs.select(
+        "doc_id",
+        F.lower(
+            F.concat(
+                F.col("source"),
+                F.lit("-"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com"),
+            )
+        ).alias("host"),
+    )
+    hid = hosts.groupBy("host").agg(F.min("doc_id").alias("hid"))
+    hedges = linkgraph.contract_to_hosts(
+        edges, hosts, node_col="doc_id"
+    )
+    pair_ids = (
+        hedges.join(
+            hid.select(F.col("host").alias("src"), F.col("hid").alias("doc_a")),
+            "src",
+        )
+        .join(
+            hid.select(F.col("host").alias("dst"), F.col("hid").alias("doc_b")),
+            "dst",
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp = clusters.assign_clusters(
+        hid.select(F.col("hid").alias("doc_id")), pair_ids
+    )
+    return hid.join(
+        comp.withColumnRenamed("doc_id", "hid"), "hid"
+    ).select("host", F.col("cluster_id").alias("component"))
+
+
 SPARK_QUERIES["link_degrees"] = q_link_degrees
 SPARK_QUERIES["pagerank"] = q_pagerank
 SPARK_QUERIES["host_pagerank"] = q_host_pagerank
 SPARK_QUERIES["hits"] = q_hits
+SPARK_QUERIES["host_components"] = q_host_components
 
 
 def q_anf_sketch(spark, sf):
@@ -2962,6 +3007,44 @@ FROM ht_h{rounds} h JOIN ht_a{rounds} a USING (node)
 
 
 ORACLE_SQL["hits"] = _hits_sql()
+
+# host_components: undirected min-label closure via a recursive CTE
+# over host-id edges (host id = min member doc_id — deterministic in
+# both engines); singleton hosts are their own component.
+ORACLE_SQL["host_components"] = (
+    "WITH RECURSIVE "
+    + _LINKGRAPH_CTE
+    + r""",
+hc_h AS (
+  SELECT doc_id,
+         lower(source || '-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com') AS host
+  FROM documents
+),
+hc_id AS (
+  SELECT host, CAST(min(doc_id) AS BIGINT) AS hid
+  FROM hc_h GROUP BY host
+),
+hc_e AS (
+  SELECT DISTINCT least(s.hid, d.hid) AS u, greatest(s.hid, d.hid) AS v
+  FROM pr_e e
+  JOIN hc_h hs ON hs.doc_id = e.src
+  JOIN hc_h hd ON hd.doc_id = e.dst
+  JOIN hc_id s ON s.host = hs.host
+  JOIN hc_id d ON d.host = hd.host
+  WHERE s.hid <> d.hid
+),
+hc_reach(node, label) AS (
+  SELECT hid, hid FROM hc_id
+  UNION
+  SELECT CASE WHEN r.node = e.u THEN e.v ELSE e.u END, r.label
+  FROM hc_reach r JOIN hc_e e ON r.node IN (e.u, e.v)
+)
+SELECT i.host, CAST(min(r.label) AS BIGINT) AS component
+FROM hc_id i JOIN hc_reach r ON r.node = i.hid
+GROUP BY i.host
+"""
+)
 
 ANF_GATE_ROUNDS = 3
 
