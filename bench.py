@@ -54,9 +54,10 @@ BENCH_QUERIES = [
     "embedding_dup_pairs_lsh",
     "dimension_upsert",
     # (dimension_upsert_bucketed stays gate-only: its bench time would
-    # be ~90% scratch-layout setup write, not the probe; dedup_stream
-    # and hits likewise — scratch-store replay and 12 sequential
-    # rescale barriers respectively, pure fixed cost at bench SF)
+    # be ~90% scratch-layout setup write, not the probe; dedup_stream,
+    # hits, and host_components likewise — scratch-store replay,
+    # 12 sequential rescale barriers, and driver-looped CC rounds
+    # respectively: pure fixed cost at bench SF)
     "seen_anti_join_bucketed",
     "seen_anti_join_cuckoo",
     "politeness_bucketed",
