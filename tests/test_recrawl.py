@@ -182,3 +182,42 @@ def test_recrawl_priorities_drive_frontier_topk(spark):
         "https://churn.com/",
         "https://flip.com/",
     }
+
+
+def test_seeded_random_histories_match_oracle(spark):
+    """200 seeded random capture histories (1-8 captures, random
+    digest churn, irregular gaps) in ONE batch vs the Python oracle —
+    the fuzz coverage a hand-picked table can't give."""
+    import random
+    import time
+
+    rng = random.Random(0xC0FFEE)
+    rows = []
+    for s in range(200):
+        surt = f"com,fuzz{s})/"
+        n = rng.randint(1, 8)
+        epoch = rng.randint(1_500_000_000, 1_600_000_000)
+        digest = f"d{rng.randint(0, 3)}"
+        for c in range(n):
+            ts14 = time.strftime(
+                "%Y%m%d%H%M%S", time.gmtime(epoch)
+            )
+            rows.append(
+                (surt, ts14, f"https://fuzz{s}.com/p{c}", digest)
+            )
+            epoch += rng.randint(60, 10_000_000)
+            if rng.random() < 0.5:
+                digest = f"d{rng.randint(0, 3)}"
+    got = {
+        r["surt"]: (
+            r["n_captures"],
+            r["n_changes"],
+            r["first_epoch"],
+            r["last_epoch"],
+            r["lambda_milli"],
+            r["priority"],
+            r["url"],
+        )
+        for r in cdx_change_rate(_index_df(spark, rows), NOW).collect()
+    }
+    assert got == _py_oracle(rows, NOW)
