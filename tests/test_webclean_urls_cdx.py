@@ -456,3 +456,59 @@ def test_cdx_collapse_latest_plans(spark):
     assert p1.count("Exchange") == 1 and "EvalPython" not in p1
     p2 = cdx_latest(hist)._jdf.queryExecution().executedPlan().toString()
     assert p2.count("Exchange") == 1 and "WindowGroupLimit" in p2
+
+
+def test_cdx_merge_semantics_and_sorted_rewrite(spark, tmp_path):
+    """Identical re-crawled captures fold once; a different digest at
+    the same second is a distinct capture; merged output re-writes to
+    globally sorted non-overlapping shards."""
+    from website_indexer_spark.sources.cdx import (
+        cdx_merge,
+        read_cdxj,
+        write_cdxj,
+    )
+
+    schema = (
+        "surt string, ts14 string, url string, mime string, "
+        "status_code int, digest string, length long"
+    )
+    pub = spark.createDataFrame(
+        [
+            ("com,a)/", "20240101000000", "https://a.com/", "text/html", 200, "d1", 5),
+            ("com,b)/", "20240102000000", "https://b.com/", "text/html", 200, "d2", 5),
+        ],
+        schema,
+    )
+    inc = spark.createDataFrame(
+        [
+            # exact duplicate of the published capture -> folds once
+            ("com,a)/", "20240101000000", "https://a.com/", "text/html", 200, "d1", 5),
+            # same surt+second, DIFFERENT digest -> second capture kept
+            ("com,a)/", "20240101000000", "https://a.com/", "text/html", 200, "d9", 5),
+            # brand-new capture
+            ("com,c)/", "20240103000000", "https://c.com/", "text/html", 200, "d3", 5),
+        ],
+        schema,
+    )
+    merged = cdx_merge(pub, inc)
+    got = sorted(
+        (r["surt"], r["ts14"], r["digest"]) for r in merged.collect()
+    )
+    assert got == [
+        ("com,a)/", "20240101000000", "d1"),
+        ("com,a)/", "20240101000000", "d9"),
+        ("com,b)/", "20240102000000", "d2"),
+        ("com,c)/", "20240103000000", "d3"),
+    ]
+    # merged index re-writes to the sorted-shard contract
+    out = str(tmp_path / "merged_cdxj")
+    write_cdxj(merged, out, shards=3)
+    back = read_cdxj(spark, out + "/part-*")
+    assert back.count() == 4
+    import glob
+
+    lines = []
+    for p in sorted(glob.glob(out + "/part-*")):
+        with open(p) as f:
+            lines.extend(ln.split(" ", 2)[:2] for ln in f)
+    assert lines == sorted(lines)

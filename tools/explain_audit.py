@@ -628,6 +628,15 @@ CHECKS = {
          "expressions — no exchange, no Python",
          lambda p: "Exchange" not in p and "EvalPython" not in p),
     ],
+    "cdx_merge": [
+        ("the merge is one partial-aggregated exchange on the "
+         "capture identity — no sort, no join, both sides stream",
+         lambda p: "partial" in p.lower()
+         and "SortMergeJoin" not in p
+         and "CartesianProduct" not in p),
+        ("no Python",
+         lambda p: "EvalPython" not in p),
+    ],
     "recrawl_schedule": [
         ("the lag() window and the per-surt aggregate share ONE "
          "surt-keyed exchange (the derivation's doc_id join is "

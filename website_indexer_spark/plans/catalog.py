@@ -3582,6 +3582,33 @@ FROM rn WHERE r = 1
 """
 )
 
+def q_cdx_merge(spark, sf):
+    """Published-index merge (sources/cdx.py::cdx_merge): snaps 0-2
+    play the published index, snaps 2-3 the new increment — the
+    overlapping snap-2 captures are exact duplicates and must fold
+    once, so the merged index equals the full 4-snapshot index."""
+    import time as _time
+
+    from website_indexer_spark.sources.synth import DOC_PAGES_EPOCH
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    idx = _cdx.cdx_index(_multi_captures(spark, sf))
+    b_pub = _time.strftime(
+        "%Y%m%d%H%M%S", _time.gmtime(DOC_PAGES_EPOCH + 2_500_000)
+    )
+    b_inc = _time.strftime(
+        "%Y%m%d%H%M%S", _time.gmtime(DOC_PAGES_EPOCH + 1_500_000)
+    )
+    published = idx.filter(F.col("ts14") < b_pub)
+    increment = idx.filter(F.col("ts14") >= b_inc)
+    from website_indexer_spark.sources.cdx import cdx_merge
+
+    return cdx_merge(published, increment)
+
+
+SPARK_QUERIES["cdx_merge"] = q_cdx_merge
+
+
 def q_recrawl_schedule(spark, sf):
     """Cho & Garcia-Molina change-rate estimation + integer recrawl
     priority over the 4-snapshot capture history: one exchange keyed
@@ -3640,6 +3667,12 @@ _RECRAWL_CORE = r""", rlag AS (
          ELSE 0 END AS BIGINT) AS priority
   FROM rlam
 )""".replace("{NOW}", str(DOC_PAGES_EPOCH + 10_000_000))
+
+ORACLE_SQL["cdx_merge"] = (
+    "WITH " + _URLS_CTE + ", " + _CAPS_CDX_CTE + r"""
+SELECT surt, ts14, url, mime, status_code, digest, length FROM cidx
+"""
+)
 
 ORACLE_SQL["recrawl_schedule"] = (
     "WITH " + _URLS_CTE + ", " + _CAPS_CDX_CTE + _RECRAWL_CORE + r"""

@@ -135,6 +135,27 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def cdx_merge(published: DataFrame, increment: DataFrame) -> DataFrame:
+    """Fold a new crawl increment's index rows into a published
+    index — the standard archive maintenance operation (pywb's
+    cdx-indexer merge / Common Crawl's per-dump index union). Pure
+    relational: unionByName + dropDuplicates on the full capture
+    identity (surt, ts14, digest) — a re-crawled capture that
+    produced identical bytes at the identical second is one capture,
+    anything else is history and is kept. The writer contract is
+    unchanged: feed the result to ``write_cdxj`` and
+    repartitionByRange re-establishes globally sorted,
+    non-overlapping shards — merging never needs a total-order sort
+    of the union, only the range writer's boundary sampling.
+
+    Scale shape: one partial-aggregated exchange keyed by the
+    capture identity (the dropDuplicates); both inputs stream
+    through — no side is collected, broadcast, or assumed small."""
+    return published.unionByName(increment).dropDuplicates(
+        ["surt", "ts14", "digest"]
+    )
+
+
 def cdx_collapse(index: DataFrame) -> DataFrame:
     """Digest-collapse an index (pywb ``collapse=digest`` / Common
     Crawl dedup semantics): within each surt, in capture-time order,
