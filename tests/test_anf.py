@@ -107,3 +107,63 @@ def test_plan_bit_or_partial_no_cartesian(spark):
     assert "partial_bit_or" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_harmonic_rank_matches_float_order_and_python_key(spark):
+    """harmonic_rank (r4 verdict item 6): the exact-integer rank must
+    (a) totally order all nodes, (b) agree with the float estimator's
+    order wherever the floats are distinguishable, and (c) equal a
+    plain-Python evaluation of the same pinned key protocol."""
+    from website_indexer_spark.operators.anf import (
+        harmonic_key_constants,
+        harmonic_rank,
+        harmonic_weights,
+    )
+
+    nodes, edges = _graph(spark)
+    got = {
+        r["node"]: r["harmonic_rank"]
+        for r in harmonic_rank(nodes, edges, rounds=3).collect()
+    }
+    assert sorted(got.values()) == list(range(1, len(NODES) + 1))
+
+    # python replica of the key protocol over the python ANF oracle
+    s = _py_anf(NODES, EDGES, 3)
+    ks = harmonic_key_constants(ANF_REGISTERS)
+    cs = harmonic_weights(3)
+    def key(n):
+        tot = 0
+        for t in range(1, 4):
+            st = s[(n, t)]
+            q = min(st // ANF_REGISTERS, 62)
+            tot += cs[t - 1] * ks[st % ANF_REGISTERS] * (1 << q)
+        return tot
+    order = sorted(NODES, key=lambda n: (-key(n), n))
+    want = {n: i + 1 for i, n in enumerate(order)}
+    assert got == want
+
+    # float-order agreement (floats distinguishable on this graph)
+    hc = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(nodes, edges, rounds=3).collect()
+    }
+    forder = sorted(NODES, key=lambda n: (-hc[n], n))
+    assert [order.index(n) for n in forder] == list(range(len(NODES)))
+
+
+def test_harmonic_key_expr_dialects_share_constants():
+    """Both dialect strings inline the same pinned K table and
+    weights — the generator is the single source of truth."""
+    from website_indexer_spark.operators.anf import (
+        harmonic_key_constants,
+        harmonic_key_expr,
+        harmonic_weights,
+    )
+
+    sp = harmonic_key_expr(3, dialect="spark")
+    dd = harmonic_key_expr(3, dialect="duckdb")
+    for k in harmonic_key_constants():
+        assert str(k) in sp and str(k) in dd
+    for c in harmonic_weights(3):
+        assert f"CAST({c} * " in sp and f"CAST({c} * " in dd
+    assert "DECIMAL(38,0)" in sp and "HUGEINT" in dd

@@ -185,9 +185,145 @@ def harmonic_centrality(
     return wide.select(F.col(node_col), acc.alias("harmonic"))
 
 
+HARMONIC_KEY_SCALE_BITS = 27
+HARMONIC_Q_CAP = 62
+
+
+def harmonic_key_constants(registers: int = ANF_REGISTERS) -> list:
+    """K_r = round(2^(r/R) * 2^27) for r = 0..R-1 — the pinned integer
+    constant table of the harmonic-rank protocol. Both engines (the
+    Spark query and the DuckDB oracle) inline THESE integers, so the
+    rank key is pure int arithmetic everywhere and hash-gateable."""
+    return [
+        round(2 ** (r / registers) * (1 << HARMONIC_KEY_SCALE_BITS))
+        for r in range(int(registers))
+    ]
+
+
+def harmonic_weights(rounds: int) -> list:
+    """Integer per-round weights c_t with H + 1 = (1/L) * sum_t c_t *
+    B_t: telescoping sum_t (B_t - B_{t-1})/t over B_0 = 1 gives
+    weight 1/(t(t+1)) for t < T and 1/T for t = T; multiplying by
+    L = lcm(1..T) clears every denominator (t and t+1 are coprime and
+    both <= T... t+1 <= T for t < T). The monotone-fix max() in the
+    float estimator never binds because s is monotone in round (bits
+    only accrue under OR) and B_1 >= 1/phi > 1 = B_0."""
+    L = math.lcm(*range(1, int(rounds) + 1))
+    return [
+        L // (t * (t + 1)) if t < rounds else L // t
+        for t in range(1, int(rounds) + 1)
+    ]
+
+
+def harmonic_key_expr(
+    rounds: int, registers: int = ANF_REGISTERS, dialect: str = "spark"
+) -> str:
+    """The harmonic-rank integer key as a SQL expression over columns
+    ``s1..s{rounds}`` — ONE generator emits both engines' dialects, so
+    the protocol constants (weights, K table, q cap/split) cannot
+    drift between the Spark query and the DuckDB oracle.
+
+    Per round:  c_t * K[s_t mod R] * 2^min(q,31) * 2^(min(q,62)-31)+
+    with q = s_t div R — the shift split keeps every factor inside a
+    bigint; the products run in decimal(38,0) (Spark) / HUGEINT
+    (DuckDB), both exact 128-bit integer arithmetic."""
+    ks = harmonic_key_constants(registers)
+    R = int(registers)
+    terms = []
+    for t, c in zip(range(1, int(rounds) + 1), harmonic_weights(rounds)):
+        s = f"s{t}"
+        if dialect == "spark":
+            karr = ", ".join(str(int(k)) + "L" for k in ks)
+            kpick = f"element_at(array({karr}), CAST({s} % {R} AS INT) + 1)"
+            q = f"least({s} DIV {R}, {HARMONIC_Q_CAP})"
+            big = "DECIMAL(38,0)"
+            shift = "shiftleft(1L, CAST({n} AS INT))"
+        else:
+            whens = " ".join(
+                f"WHEN {r} THEN {int(k)}" for r, k in enumerate(ks)
+            )
+            kpick = f"(CASE CAST({s} % {R} AS INT) {whens} END)"
+            q = f"least({s} // {R}, {HARMONIC_Q_CAP})"
+            big = "HUGEINT"
+            shift = "(CAST(1 AS BIGINT) << CAST({n} AS INT))"
+        lo = shift.format(n=f"least({q}, 31)")
+        hi = shift.format(n=f"greatest({q} - 31, 0)")
+        terms.append(
+            f"CAST({int(c)} * {kpick} AS {big})"
+            f" * CAST({lo} AS {big}) * CAST({hi} AS {big})"
+        )
+    return " + ".join(terms)
+
+
+def harmonic_rank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    registers: int = ANF_REGISTERS,
+) -> DataFrame:
+    """(node, harmonic_rank) — the EXACT-integer rank order of the
+    HyperBall harmonic-centrality estimate, hash-gateable where the
+    float estimate is rows-only.
+
+    Protocol: phi and the constant -1 and 1/L factors are monotone
+    (order-preserving), so ranking by H(v) == ranking by the integer
+    key  X(v) = sum_t c_t * 2^(s_t div R) * K_{s_t mod R}  with c_t =
+    harmonic_weights (clears the telescoping denominators) and K_r =
+    round(2^(r/R) * 2^27) (harmonic_key_constants — the fixed-point
+    table of the fractional power both engines inline). Every term is
+    integer; products run in decimal(38,0) (the 2^q factor split into
+    two <=2^31 shifts keeps each factor in a bigint, q capped at 62 —
+    unreachable until a neighborhood holds ~2^62*phi nodes). Ties —
+    identical sketches — break by node id, so the rank is total and
+    deterministic. Key resolution 2^-27 relative; distinct sketch
+    triples closer than that are indistinguishable to the float
+    estimator too (double has 2^-52 on the SAME fixed-point terms).
+
+    The ranking itself is the scalable ordered enumeration
+    (frontier.assign_ordered_seq): range-partition by key, count per
+    partition, offset-number — a distributed TeraSort-shaped rank,
+    never a single-partition window. Rank 1 = most central."""
+    from website_indexer_spark.operators.frontier import assign_ordered_seq
+
+    stats = anf_neighborhood_stats(
+        nodes, edges, rounds, node_col, src_col, dst_col, registers
+    )
+    wide = (
+        stats.groupBy(node_col)
+        .pivot("round", list(range(1, int(rounds) + 1)))
+        .agg(F.first("s"))
+        .select(
+            F.col(node_col),
+            *[F.col(str(t)).alias(f"s{t}") for t in range(1, int(rounds) + 1)],
+        )
+    )
+    key = F.expr(harmonic_key_expr(rounds, registers, dialect="spark"))
+    keyed = wide.select(
+        F.col(node_col), key.alias("_key")
+    ).withColumn("_negkey", -F.col("_key"))
+    registry: list = []
+    ranked = assign_ordered_seq(
+        keyed,
+        ["_negkey", node_col],
+        start=1,
+        out_col="harmonic_rank",
+        persist_registry=registry,
+    ).select(F.col(node_col), F.col("harmonic_rank"))
+    return ranked
+
+
 __all__ = [
     "ANF_PHI",
     "ANF_REGISTERS",
+    "HARMONIC_KEY_SCALE_BITS",
+    "HARMONIC_Q_CAP",
     "anf_neighborhood_stats",
     "harmonic_centrality",
+    "harmonic_key_constants",
+    "harmonic_key_expr",
+    "harmonic_rank",
+    "harmonic_weights",
 ]

@@ -624,6 +624,7 @@ def politeness_select_bucketed(
     host_budget: int,
     schema,
     budgets: Optional[dict] = None,
+    budget_files: Optional[dict] = None,
 ) -> DataFrame:
     """politeness_select's storage-partitioned twin for huge queues:
     per-host budget selection WITHOUT shuffling the frontier.
@@ -654,14 +655,27 @@ def politeness_select_bucketed(
     the way into the next snapshot's partitionBy write, so the queue
     never crosses an exchange on the way back out either).
 
-    ``budgets`` (optional): a plain {host: budget} dict of per-host
-    overrides (the Crawl-delay product, broadcast-sized by
-    construction — one entry per delay-declaring host); hosts absent
-    from it use ``host_budget``. The dict rides the cloudpickled
-    closure to every bucket task and the per-host budget becomes a
-    vectorized pandas Series.map — no extra exchange, identical
-    semantics to politeness_select's broadcast override join."""
+    Per-host Crawl-delay overrides ride one of two forms; hosts absent
+    from either use ``host_budget``, and both are semantically
+    identical to politeness_select's broadcast override join:
+
+    * ``budget_files`` (the scale path): {bucket: [parquet files]} of a
+      (host, budget) table written partitioned by the SAME
+      pmod(xxhash64(host), B) bucket function as the frontier snapshot
+      — each bucket task point-reads ONLY its own bucket's override
+      files, so nothing is ever materialized on the driver and the
+      task closure stays thin no matter how many hosts declare a
+      Crawl-delay (10^8 delay-declaring hosts cost each task one
+      small parquet read, not an O(hosts) dict broadcast).
+    * ``budgets`` (small/test path): a plain {host: budget} dict in
+      the cloudpickled closure — fine when the caller knows the
+      override table is tiny, wrong at scale."""
     files_b = {int(b): list(fs) for b, fs in bucket_files.items()}
+    bfiles_b = (
+        {int(b): list(fs) for b, fs in budget_files.items()}
+        if budget_files
+        else None
+    )
     out_schema = T.StructType(
         schema.fields + [T.StructField("_selected", T.BooleanType(), False)]
     )
@@ -687,9 +701,29 @@ def politeness_select_bucketed(
                     ["depth", "discovery_seq"], kind="mergesort", ignore_index=True
                 )
                 rank = df.groupby("host", sort=False).cumcount()
-                if budgets:
+                overrides = budgets
+                if bfiles_b is not None:
+                    bfs = bfiles_b.get(int(b))
+                    if bfs:
+                        bframes = [
+                            pq.read_table(
+                                f, columns=["host", "budget"]
+                            ).to_pandas()
+                            for f in bfs
+                        ]
+                        bdf = (
+                            pd.concat(bframes, ignore_index=True)
+                            if len(bframes) > 1
+                            else bframes[0]
+                        )
+                        overrides = dict(
+                            zip(bdf["host"], bdf["budget"].astype("int64"))
+                        )
+                    else:
+                        overrides = None
+                if overrides:
                     bud = (
-                        df["host"].map(budgets).fillna(host_budget)
+                        df["host"].map(overrides).fillna(host_budget)
                         .astype("int64")
                     )
                     df["_selected"] = rank < bud

@@ -2869,8 +2869,27 @@ def q_harmonic_centrality(spark, sf):
     )
 
 
+def q_harmonic_rank(spark, sf):
+    """Exact-integer harmonic-centrality RANK (anf.harmonic_rank —
+    r4 verdict item 6): the float estimator's order, re-derived as
+    pure 128-bit integer arithmetic over the gated sketch statistic
+    (weights clear the telescoping denominators, a pinned fixed-point
+    table carries the fractional power), then ranked by the scalable
+    range-partitioned enumeration. Hash-gated where the float
+    estimate itself stays rows-only."""
+    from website_indexer_spark.operators import anf
+
+    docs = _t(spark, sf, "documents")
+    nodes = docs.select("doc_id")
+    edges = links_from_documents(docs, docs.count())
+    return anf.harmonic_rank(
+        nodes, edges, rounds=3, node_col="doc_id"
+    )
+
+
 SPARK_QUERIES["anf_sketch"] = q_anf_sketch
 SPARK_QUERIES["harmonic_centrality"] = q_harmonic_centrality
+SPARK_QUERIES["harmonic_rank"] = q_harmonic_rank
 
 _LINKGRAPH_CTE = """pr_n AS (SELECT count(*) AS n FROM documents),
 pr_e AS (
@@ -3049,10 +3068,11 @@ GROUP BY i.host
 ANF_GATE_ROUNDS = 3
 
 
-def _anf_sql(rounds: int = ANF_GATE_ROUNDS, registers: int = 16) -> str:
+def _anf_ctes(rounds: int = ANF_GATE_ROUNDS, registers: int = 16) -> str:
     """Mirrors anf_neighborhood_stats bit for bit: md5-32 seeds,
     trailing-zero rho, bit_or flood, lowest-unset-bit statistic —
-    every operation exact bigint/bit arithmetic in both engines."""
+    every operation exact bigint/bit arithmetic in both engines.
+    Returns the WITH chain up through an_st{rounds}."""
     digit = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
     h32 = " + ".join(
         f"{digit.format(i=i)} * {16 ** (8 - i)}" for i in range(1, 9)
@@ -3086,16 +3106,56 @@ an_st{t} AS (
     FROM pr_e e JOIN an_st{t - 1} s ON s.node = e.dst
   ) GROUP BY node, reg
 )"""
+    return sql
+
+
+def _anf_sql(rounds: int = ANF_GATE_ROUNDS, registers: int = 16) -> str:
     levels = "\nUNION ALL\n".join(
         f"""SELECT node AS doc_id, CAST({t} AS INT) AS round,
        CAST(sum(bit_count(((~bits) & (bits + 1)) - 1)) AS BIGINT) AS s
 FROM an_st{t} GROUP BY node"""
         for t in range(1, rounds + 1)
     )
-    return sql + "\n" + levels
+    return _anf_ctes(rounds, registers) + "\n" + levels
+
+
+def _harmonic_rank_sql(
+    rounds: int = ANF_GATE_ROUNDS, registers: int = 16
+) -> str:
+    """Exact-integer harmonic rank over the ANF flood — the key
+    expression comes from the SAME generator as the Spark query
+    (anf.harmonic_key_expr), evaluated in HUGEINT; the rank itself is
+    row_number over (key DESC, node), mirroring harmonic_rank's
+    (-key, node) range-partitioned enumeration."""
+    from website_indexer_spark.operators.anf import harmonic_key_expr
+
+    sql = _anf_ctes(rounds, registers)
+    for t in range(1, rounds + 1):
+        sql += f""",
+hr{t} AS (
+  SELECT node,
+         CAST(sum(bit_count(((~bits) & (bits + 1)) - 1)) AS BIGINT) AS s{t}
+  FROM an_st{t} GROUP BY node
+)"""
+    joins = " ".join(f"JOIN hr{t} USING (node)" for t in range(2, rounds + 1))
+    key = harmonic_key_expr(rounds, registers, dialect="duckdb")
+    return (
+        sql
+        + f""",
+hr_key AS (
+  SELECT node, {key} AS k
+  FROM hr1 {joins}
+)
+SELECT node AS doc_id,
+       CAST(row_number() OVER (ORDER BY k DESC, node ASC) AS BIGINT)
+         AS harmonic_rank
+FROM hr_key
+"""
+    )
 
 
 ORACLE_SQL["anf_sketch"] = _anf_sql()
+ORACLE_SQL["harmonic_rank"] = _harmonic_rank_sql()
 
 ORACLE_SQL["link_degrees"] = (
     "WITH "

@@ -53,6 +53,7 @@ records status=Failed + failure_message on the crawl record
 from __future__ import annotations
 
 import argparse
+import os
 import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor
@@ -586,17 +587,40 @@ def run_crawl(
     seen_bucketed_ok = store.bucketed_path_available("seen")
     dims_bucketed_ok = store.bucketed_path_available("dims")
 
-    # Per-host Crawl-delay overrides, collected ONCE per run: the
-    # table is broadcast-sized by construction (one row per
-    # delay-declaring host, policy.crawl_delay_budgets), and the
-    # bucketed point-read selection needs it as a plain dict in its
-    # task closure. The window path keeps using the DataFrame form
-    # (broadcast LEFT OUTER join) — identical semantics.
-    host_budget_map: Optional[dict] = None
-    if host_budgets is not None:
-        host_budget_map = {
-            r["host"]: int(r["budget"]) for r in host_budgets.collect()
-        }
+    # Per-host Crawl-delay overrides, written ONCE per run as a
+    # parquet table partitioned by the SAME pmod(xxhash64(host), B)
+    # bucket function as the frontier snapshots: the storage-
+    # partitioned politeness selection point-reads only its own
+    # bucket's override files, so the budgets NEVER materialize on the
+    # driver and the task closure carries file paths, not an O(hosts)
+    # dict — the shape that survives 10^8 delay-declaring hosts. The
+    # window path keeps using the DataFrame form (broadcast LEFT
+    # OUTER join) — identical semantics on both paths.
+    budget_files: Optional[dict] = None
+    if host_budgets is not None and frontier_buckets:
+        budgets_dir = os.path.join(store.root, "crawl_budgets")
+        (
+            host_budgets.select("host", F.col("budget").cast("long"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("host"), F.lit(frontier_buckets)),
+            )
+            .repartition(frontier_buckets, F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(budgets_dir)
+        )
+        budget_files = {}
+        for dirpath, _dirs, files in os.walk(budgets_dir):
+            marker = os.path.basename(dirpath)
+            if not marker.startswith("bucket="):
+                continue
+            b = int(marker.split("=", 1)[1])
+            for fname in files:
+                if fname.endswith(".parquet"):
+                    budget_files.setdefault(b, []).append(
+                        os.path.join(dirpath, fname)
+                    )
 
     bloom: Optional[StripedBloom] = None
     try:
@@ -627,8 +651,8 @@ def run_crawl(
             # per-host Crawl-delay overrides (policy.crawl_delay_budgets)
             # ride BOTH selection paths: the window path as a broadcast
             # LEFT OUTER join, the bucketed point-read path as the
-            # host_budget_map dict in its task closure (collected once
-            # per run above).
+            # bucket-aligned override parquet written once per run
+            # above (each bucket task reads only its own overrides).
             use_bucketed_select = bool(
                 host_budget is not None
                 and frontier_files
@@ -640,7 +664,7 @@ def run_crawl(
                 if use_bucketed_select:
                     selection_cache = politeness_select_bucketed(
                         spark, frontier_files, host_budget, FRONTIER_SCHEMA,
-                        budgets=host_budget_map,
+                        budget_files=budget_files,
                     ).persist()
                     selected = selection_cache.filter(
                         F.col("_selected")
