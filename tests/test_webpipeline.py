@@ -277,3 +277,53 @@ def test_dedup_against_snapshot_bucketed_parity(spark, tmp_path):
     # Spark plan — no second parquet scan, no join against it
     plan = bucketed._jdf.queryExecution().toString()
     assert "snap_hashes" not in plan
+
+
+def test_dump_to_shards_capstone_matches_duckdb(spark):
+    """THE capstone composition gate (r4 verdict item 1), pinned as a
+    pytest at sf0.001: raw WARC bytes → wire decode → extraction
+    kernel → encoding/Gopher/C4/repetition gates → exact + paragraph
+    dedup → decontam → host mixture → pack → manifest, hash-matched
+    value for value against ONE spliced DuckDB query. Also asserts
+    the funnel actually funnels (each staged count bound holds) so a
+    stage silently becoming a no-op fails here."""
+    import duckdb
+
+    from website_indexer_spark.plans.catalog import ORACLE_SQL, SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    spdf = (
+        SPARK_QUERIES["dump_to_shards"](spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    odf = (
+        con.execute(ORACLE_SQL["dump_to_shards"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(spdf) == len(odf) > 0
+    for c in spdf.columns:
+        a = spdf[c].fillna("~N~").astype(str)
+        b = odf[c].fillna("~N~").astype(str)
+        assert (a == b).all(), c
+    # the funnel funnels: redirects dropped (never a %10 doc_id),
+    # mixture sampled below the post-decontam count, shards balanced
+    # around the budget
+    assert not (spdf["doc_id"] % 10 == 0).any()
+    n_corpus = con.execute(
+        "SELECT count(*) FROM (SELECT doc_id FROM documents "
+        "ORDER BY doc_id LIMIT 300) WHERE doc_id % 10 <> 0"
+    ).fetchone()[0]
+    assert 0 < len(spdf) < n_corpus
+    man = spdf.groupby(["bucket", "shard_id"]).agg(
+        docs=("doc_id", "size"), toks=("n_tokens", "sum")
+    )
+    assert (man["docs"] == spdf.groupby(["bucket", "shard_id"])["shard_docs"].first()).all()
+    assert (man["toks"] == spdf.groupby(["bucket", "shard_id"])["shard_tokens"].first()).all()

@@ -191,6 +191,24 @@ CHECKS = {
         ("eval-slice holdout pushed into the scan",
          lambda p: "PushedFilters" in p),
     ],
+    "dump_to_shards": [
+        ("the full dump→shards chain stays equi-join only — no cross "
+         "product anywhere from archive bytes to manifest",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("map-side partial aggregation before every shuffle (exact "
+         "dedup firsts, paragraph firsts, decontam counts, manifest)",
+         lambda p: "partial" in p.lower()),
+        ("the chain either shows its Arrow-batched runners (wire "
+         "decode / extraction kernel) inline or reads from a "
+         "checkpoint-materialized stage boundary — never "
+         "row-at-a-time Python (no EvalPython / BatchEvalPython)",
+         lambda p: ("MapInPandas" in p or "ArrowEvalPython" in p
+                    or "ExistingRDD" in p)
+         and "BatchEvalPython" not in p),
+        ("packing is bucket-parallel: no global range sort anywhere "
+         "in the plan",
+         lambda p: "rangepartitioning" not in p),
+    ],
     "media_meta": [
         ("payload audit is a narrow mapInPandas pipeline: no exchange",
          lambda p: "Exchange" not in p),

@@ -57,20 +57,30 @@ DEFAULT_MIN_WORDS = 3
 DEFAULT_MIN_LINES = 3
 
 
-def line_keep(line: Column, min_words: int = DEFAULT_MIN_WORDS) -> Column:
+def line_keep(
+    line: Column,
+    min_words: int = DEFAULT_MIN_WORDS,
+    require_terminal_punct: bool = True,
+) -> Column:
     """C4 per-line keep predicate (a Column, usable inside
-    higher-order lambdas)."""
+    higher-order lambdas). ``require_terminal_punct=False`` drops the
+    sentence-final-punctuation rule (T5's strictest line filter) while
+    keeping the min-words + boilerplate rules — for corpora that are
+    legitimate text but not sentence-punctuated (transcripts, code
+    docs, the synthetic gate corpus)."""
     lower = F.lower(line)
     bad = F.lit(False)
     for phrase in BAD_PHRASES:
         bad = bad | F.contains(lower, F.lit(phrase))
     words = F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
-    return (
-        F.regexp_like(line, F.lit(TERMINAL_PUNCT_RE))
-        & (words >= F.lit(min_words))
+    keep = (
+        (words >= F.lit(min_words))
         & ~F.contains(lower, F.lit("javascript"))
         & ~bad
     )
+    if require_terminal_punct:
+        keep = F.regexp_like(line, F.lit(TERMINAL_PUNCT_RE)) & keep
+    return keep
 
 
 def page_bad(text: Column) -> Column:
@@ -86,6 +96,7 @@ def c4_line_stats(
     text_col: str = "text",
     min_words_per_line: int = DEFAULT_MIN_WORDS,
     wrap_tokens: int = 10,
+    require_terminal_punct: bool = True,
 ) -> DataFrame:
     """Per-doc cleaning outcome: (id, n_lines, n_kept, bad_page,
     clean_text). clean_text is the surviving lines joined by newlines
@@ -103,7 +114,7 @@ def c4_line_stats(
         F.col("_text"),
         lines.alias("_lines"),
         F.filter(
-            lines, lambda l: line_keep(l, min_words_per_line)
+            lines, lambda l: line_keep(l, min_words_per_line, require_terminal_punct)
         ).alias("_kept"),
     )
     return staged.select(
@@ -123,6 +134,7 @@ def c4_clean(
     min_lines: int = DEFAULT_MIN_LINES,
     wrap_tokens: int = 10,
     keep_cols: Optional[list] = None,
+    require_terminal_punct: bool = True,
 ) -> DataFrame:
     """Surviving docs with text replaced by the cleaned rebuild:
     drops bad pages and pages with < min_lines surviving lines,
@@ -145,7 +157,7 @@ def c4_clean(
         *keep_cols,
         F.col("_text"),
         F.filter(
-            lines, lambda l: line_keep(l, min_words_per_line)
+            lines, lambda l: line_keep(l, min_words_per_line, require_terminal_punct)
         ).alias("_kept"),
     )
     return (

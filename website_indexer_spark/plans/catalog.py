@@ -845,6 +845,136 @@ def q_warc_ingest(spark, sf):
     )
 
 
+# --------------------------------------------------------------------
+# THE CAPSTONE COMPOSITION (r4 verdict item 1): raw archive bytes →
+# training shards as ONE lineage. Every stage is an operator the
+# catalog already gates individually; this query chains the full span
+# — WARC wire decode → route → extraction kernel → encoding gate →
+# Gopher gate → C4 line clean → repetition gate → exact dedup →
+# cross-doc paragraph dedup → decontamination vs an external slice →
+# host-temperature mixture → token-budget packing → shard manifest —
+# and hash-matches ONE spliced DuckDB query over the same archive
+# synthesis. The final rows are the shard-assignment table enriched
+# with its manifest roll-up: every upstream value (which docs
+# survived, what their rebuilt texts count) is pinned by the hash.
+# --------------------------------------------------------------------
+
+DUMP_GATE_DOCS = 300          # archive corpus (warc_ingest precedent)
+DUMP_DECONTAM_MIN_HITS = 12   # >=12 shared distinct trigrams = leaked
+DUMP_MIXTURE_TARGET = 60      # temperature-mixture target rows
+DUMP_PACK_BUDGET = 500        # tokens per shard
+DUMP_PACK_BUCKETS = 4
+
+
+def q_dump_to_shards(spark, sf):
+    """warc bytes → shards, one plan (stage boundaries localCheckpoint
+    like pretrain_pipeline — the 100 TB stage-materialization shape;
+    values unchanged, so the single-query DuckDB mirror holds).
+
+    The C4 stage runs require_terminal_punct=False (the corpus is
+    unpunctuated word text; the punctuation rule would empty it — the
+    min-words/boilerplate/page rules still run and the line-wrap
+    rebuild gives the paragraph stage real lines). The benchmark for
+    decontamination is the doc_id%10 slice — exactly the rows the
+    archive 301-redirected away, so they are external to the corpus
+    by construction."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from website_indexer_spark.functions.encoding import encoding_filter
+    from website_indexer_spark.functions.gopherquality import (
+        gopher_quality_filter,
+    )
+    from website_indexer_spark.functions.udfs import extract_udf
+    from website_indexer_spark.functions.webclean import c4_clean
+    from website_indexer_spark.operators import dedup as dedup_ops
+    from website_indexer_spark.sources.warc import (
+        read_warc,
+        synthesize_warc_files,
+    )
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(DUMP_GATE_DOCS)
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]  # ≤300: driver-sized
+    tag = hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:10]
+    out_dir = _os.path.join(tempfile.gettempdir(), f"wi_spark_dump_gate_{tag}")
+    synthesize_warc_files(rows, out_dir)
+
+    # stage 1: wire decode + route + extraction kernel
+    parsed = read_warc(spark, out_dir + "/synth-*")
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    ex = (
+        parsed.filter(
+            (F.col("status_code") == 200) & F.col("html").isNotNull()
+        )
+        .select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            host.alias("host"),
+            extract_udf(F.col("html"), host).alias("_ex"),
+        )
+        .select("doc_id", "host", F.col("_ex.text").alias("text"))
+        .localCheckpoint(eager=False)
+    )
+    # stage 2-4: encoding gate → Gopher gate → C4 clean (rebuild)
+    ec = encoding_filter(ex)
+    gq = gopher_quality_filter(
+        ec, stopwords=GOPHER_GATE_STOPWORDS, **GOPHER_GATE_THRESHOLDS
+    )
+    c4 = c4_clean(
+        gq, keep_cols=["host"], require_terminal_punct=False
+    ).drop("n_kept").localCheckpoint(eager=False)
+    # stage 5: repetition gate
+    rep = ts.repetition_filter(
+        c4, id_col="doc_id", text_col="text", **REP_FILTER_THRESHOLDS
+    ).localCheckpoint(eager=False)
+    # stage 6: exact dedup (min doc per md5)
+    keep = rep.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = rep.join(keep.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    # stage 7: cross-doc paragraph dedup, rebuilt text
+    pdocs = (
+        dedup_ops.dedup_paragraphs(dd, "doc_id", "text")
+        .filter(F.col("n_kept") > 0)
+        .select("doc_id", "text")
+        .join(dd.select("doc_id", "host"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    # stage 8: decontaminate vs the redirected-away slice (original text)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    clean = decontam.decontaminate(
+        pdocs, bench, n=3,
+        min_hits=DUMP_DECONTAM_MIN_HITS, max_shingle_df=25,
+    )
+    # stage 9: host-temperature mixture (eager per-host count job)
+    mixed = sampling.mixture_sample(
+        clean, source_col="host", key_col="doc_id",
+        target_rows=DUMP_MIXTURE_TARGET,
+    )
+    # stage 10: pack + manifest, emitted as enriched assignment rows
+    asn = packing.pack_documents(
+        mixed, budget_tokens=DUMP_PACK_BUDGET, n_buckets=DUMP_PACK_BUCKETS
+    )
+    man = packing.shard_manifest(asn).select(
+        "bucket", "shard_id",
+        F.col("n_docs").alias("shard_docs"),
+        F.col("shard_tokens"),
+    )
+    return asn.join(man, ["bucket", "shard_id"]).select(
+        "doc_id", "bucket", "shard_id", "n_tokens", "tokens_before",
+        "shard_docs", "shard_tokens",
+    )
+
+
 def q_doc_pack(spark, sf):
     """Token-budget training-shard packing (operators/packing.py):
     bucket-parallel greedy packing — md5-ordered cumulative token sum
@@ -1075,6 +1205,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "warc_ingest": q_warc_ingest,
+    "dump_to_shards": q_dump_to_shards,
     "repetition_stats": q_repetition_stats,
     "repetition_filter": q_repetition_filter,
     "dedup_spans": q_dedup_spans,
@@ -2353,17 +2484,29 @@ _WLINES = r"""wl AS (
   FROM wl
 )"""
 
-_C4_KEEP = (
-    r"""list_filter(ls, l -> regexp_matches(l, '[.!?"]$')"""
-    r""" AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3"""
-    r""" AND NOT contains(lower(l), 'javascript')"""
-    r""" AND NOT contains(lower(l), 'terms of use')"""
-    r""" AND NOT contains(lower(l), 'privacy policy')"""
-    r""" AND NOT contains(lower(l), 'cookie policy')"""
-    r""" AND NOT contains(lower(l), 'uses cookies')"""
-    r""" AND NOT contains(lower(l), 'use of cookies')"""
-    r""" AND NOT contains(lower(l), 'use cookies'))"""
-)
+def _c4_keep_sql(require_terminal_punct: bool = True) -> str:
+    """The C4 line-keep predicate over a line array `ls` — one
+    generator for both rule variants (webclean.line_keep's
+    require_terminal_punct switch)."""
+    punct = (
+        r"""regexp_matches(l, '[.!?"]$') AND """
+        if require_terminal_punct
+        else ""
+    )
+    return (
+        r"""list_filter(ls, l -> """ + punct
+        + r"""len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3"""
+        r""" AND NOT contains(lower(l), 'javascript')"""
+        r""" AND NOT contains(lower(l), 'terms of use')"""
+        r""" AND NOT contains(lower(l), 'privacy policy')"""
+        r""" AND NOT contains(lower(l), 'cookie policy')"""
+        r""" AND NOT contains(lower(l), 'uses cookies')"""
+        r""" AND NOT contains(lower(l), 'use of cookies')"""
+        r""" AND NOT contains(lower(l), 'use cookies'))"""
+    )
+
+
+_C4_KEEP = _c4_keep_sql()
 
 ORACLE_SQL["c4_line_stats"] = (
     "WITH " + _webtext_cte() + ", " + _WLINES + f""", c4 AS (
@@ -2702,6 +2845,186 @@ WHERE s.n_words BETWEEN {GOPHER_GATE_THRESHOLDS['min_words']}
   AND s.stopword_hits >= {GOPHER_GATE_THRESHOLDS['min_stopword_hits']}
 """
 )
+
+
+def _enc_badness_sql(t: str) -> str:
+    """encoding badness_permille over expression `t` — the same three
+    damage families as _ENC_CTE (replacement char, control range,
+    mojibake lead bytes), inlined as one expression for composition
+    into larger CTE chains."""
+    return (
+        f"CAST(floor(1000 * ("
+        f"(length({t}) - length(regexp_replace({t}, chr(65533), '', 'g')))"
+        f" + (length({t}) - length(regexp_replace({t},"
+        f" '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g')))"
+        f" + (length({t}) - length(regexp_replace({t},"
+        f" '(?:' || chr(195) || '|' || chr(194) || '|' || chr(226)"
+        f" || chr(8364) || '|' || chr(239) || chr(187) || chr(191) || ')',"
+        f" '', 'g')))"
+        f") / greatest(length({t}), 1)) AS BIGINT)"
+    )
+
+
+def _dump_to_shards_sql() -> str:
+    """ONE DuckDB query mirroring the full dump→shards composition
+    (q_dump_to_shards) stage for stage: the archive synthesis is
+    deterministic in doc_id (synth_warc_plan), so the mirror starts
+    from the same LIMIT-300 slice, drops the %10 redirects, collapses
+    whitespace (the extraction kernel's text normalization on tagless
+    bodies), then replays encoding/gopher/c4(no-punct)/repetition
+    gates, md5 exact dedup, cross-doc first-occurrence paragraph
+    dedup, trigram decontam vs the %10 slice, the 16-bit mixture
+    protocol keyed on host, and the md5-ordered token packing."""
+    G = GOPHER_GATE_THRESHOLDS
+    R = REP_FILTER_THRESHOLDS
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, text FROM (SELECT doc_id, text FROM documents
+                            ORDER BY doc_id LIMIT {DUMP_GATE_DOCS})
+  WHERE doc_id % 10 <> 0
+), ext AS (
+  SELECT doc_id, 'w' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS text
+  FROM w0
+), encg AS (
+  SELECT * FROM ext WHERE {_enc_badness_sql('text')} <= 5
+), {_gopher_cte('encg')}, gog AS (
+  SELECT e.* FROM encg e JOIN gq_stats s USING (doc_id)
+  WHERE s.n_words BETWEEN {G['min_words']} AND {G['max_words']}
+    AND s.mean_word_len >= {G['min_mean_word_len']}
+    AND s.mean_word_len <= {G['max_mean_word_len']}
+    AND s.symbol_word_ratio <= {G['max_symbol_word_ratio']}
+    AND s.bullet_line_frac <= {G['max_bullet_line_frac']}
+    AND s.ellipsis_line_frac <= {G['max_ellipsis_line_frac']}
+    AND s.alpha_word_frac >= {G['min_alpha_word_frac']}
+    AND s.stopword_hits >= {G['min_stopword_hits']}
+), c4t AS (
+  SELECT doc_id, host, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t2
+  FROM gog
+), c4l AS (
+  SELECT doc_id, host, text,
+    CASE WHEN contains(text, chr(10)) THEN
+      list_filter(list_transform(string_split(text, chr(10)),
+                  l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), l -> l <> '')
+    WHEN len(t2) > 0 THEN
+      list_transform(generate_series(0, CAST(ceil(len(t2)/10.0) AS INT) - 1),
+                     i -> array_to_string(t2[i*10+1 : i*10+10], ' '))
+    ELSE [] END AS ls
+  FROM c4t
+), c4 AS (
+  SELECT doc_id, host, array_to_string(kept, chr(10)) AS text FROM (
+    SELECT doc_id, host, text,
+           {_c4_keep_sql(require_terminal_punct=False)} AS kept
+    FROM c4l
+  ) WHERE NOT (contains(lower(text), 'lorem ipsum')
+               OR contains(text, '{{'))
+    AND len(kept) >= 3
+), {_repetition_cte('c4')}, repg AS (
+  SELECT c4.* FROM c4 JOIN rs_stats s USING (doc_id)
+  WHERE s.dup_line_frac <= {R['max_dup_line_frac']}
+    AND s.dup_line_char_frac <= {R['max_dup_line_char_frac']}
+    AND s.top_ngram_char_frac <= {R['max_top_ngram_char_frac']}
+    AND s.dup_ngram_char_frac <= {R['max_dup_ngram_char_frac']}
+), xk AS (
+  SELECT min(doc_id) AS doc_id FROM repg GROUP BY md5(text)
+), dd AS (
+  SELECT repg.* FROM repg JOIN xk USING (doc_id)
+), pls AS (
+  SELECT doc_id, host,
+    list_filter(list_transform(string_split(text, chr(10)),
+                l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')),
+                l -> l <> '') AS ls
+  FROM dd
+), pex AS (
+  SELECT doc_id, e.pos AS pos, e.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+             i -> struct_pack(pos := i - 1, line := ls[i]))) AS e
+    FROM pls)
+), prk AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+  FROM pex
+), pagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM prk WHERE rk = 1 GROUP BY doc_id
+), pd AS (
+  SELECT d.doc_id, d.host, a.text FROM dd d JOIN pagg a USING (doc_id)
+  WHERE a.n_kept > 0
+), btoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM (SELECT doc_id, text FROM documents
+        ORDER BY doc_id LIMIT {DUMP_GATE_DOCS})
+  WHERE doc_id % 10 = 0
+), bsh0 AS (
+  SELECT DISTINCT doc_id AS b_doc, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM btoks WHERE len(t) >= 3)
+), bkeep AS (
+  SELECT shingle FROM bsh0 GROUP BY shingle HAVING count(*) <= 25
+), bsh AS (
+  SELECT b_doc, bsh0.shingle FROM bsh0 JOIN bkeep USING (shingle)
+), ctoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM pd
+), csh AS (
+  SELECT DISTINCT doc_id AS c_doc, shingle FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM ctoks WHERE len(t) >= 3)
+), bad AS (
+  SELECT c_doc FROM (
+    SELECT c_doc, count(DISTINCT shingle) AS n
+    FROM csh JOIN bsh USING (shingle) GROUP BY c_doc
+  ) WHERE n >= {DUMP_DECONTAM_MIN_HITS}
+), dec AS (
+  SELECT * FROM pd WHERE doc_id NOT IN (SELECT c_doc FROM bad)
+), mx_c AS (
+  SELECT host, count(*) AS n FROM dec GROUP BY host
+), mx_w AS (
+  SELECT host, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM mx_c
+), mx_thr AS (
+  SELECT host,
+         CAST(least(65536, (65536 * {DUMP_MIXTURE_TARGET} * w)
+              // ((SELECT sum(w) FROM mx_w) * n)) AS BIGINT) AS thr
+  FROM mx_w
+), mixed AS (
+  SELECT d.* FROM dec d JOIN mx_thr t USING (host)
+  WHERE t.thr >= 65536
+     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', t.thr)
+), pk_slim AS (
+  SELECT doc_id, CAST(doc_id % {DUMP_PACK_BUCKETS} AS INT) AS bucket,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS _pk
+  FROM mixed
+), pk_cum AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY _pk, doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tokens_before
+  FROM pk_slim
+), pk_rows AS (
+  SELECT doc_id, bucket,
+         CAST(floor(CAST(tokens_before AS DOUBLE) / {DUMP_PACK_BUDGET})
+              AS INT) AS shard_id,
+         n_tokens, tokens_before
+  FROM pk_cum
+), man AS (
+  SELECT bucket, shard_id, CAST(count(*) AS BIGINT) AS shard_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+  FROM pk_rows GROUP BY bucket, shard_id
+)
+SELECT r.doc_id, r.bucket, r.shard_id, r.n_tokens, r.tokens_before,
+       m.shard_docs, m.shard_tokens
+FROM pk_rows r JOIN man m USING (bucket, shard_id)
+"""
+
+
+ORACLE_SQL["dump_to_shards"] = _dump_to_shards_sql()
 
 
 # --------------------------------------------------------------------

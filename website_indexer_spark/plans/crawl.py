@@ -501,6 +501,7 @@ def run_crawl(
     bloom_bits: Optional[int] = None,
     seen_filter: str = "bloom",
     resume: bool = False,
+    extra_frontier: Optional[DataFrame] = None,
     crawl_id: int = 1,
     max_supersteps: int = 1000,
     verbose: bool = False,
@@ -543,6 +544,19 @@ def run_crawl(
                 "counters"
             ].get("links_new", 0)
         k = last + 1
+        if extra_frontier is not None:
+            # recrawl re-enqueue (operators/recrawl.py): scheduled
+            # URLs join the restored frontier with fresh discovery
+            # seqs after everything already enumerated; k-bounded by
+            # the recrawl budget, so the count job is one tiny wave.
+            extra = extra_frontier.withColumn(
+                "discovery_seq", F.col("discovery_seq") + F.lit(seq_base)
+            ).select(*FRONTIER_SCHEMA.fieldNames())
+            n_extra = extra.count()
+            seq_base += n_extra
+            frontier = frontier.unionByName(extra)
+            frontier_files = None  # the union invalidates the snapshot
+            frontier_count += n_extra
     else:
         # a FRESH run must not see a previous crawl's state: stale
         # manifests would scope reads to old supersteps and the old
