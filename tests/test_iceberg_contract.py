@@ -93,3 +93,55 @@ def test_every_engine_table_has_a_spec():
 
     for name in DELTA_TABLES + SNAPSHOT_TABLES:
         assert name in IB._PARTITION_SPECS, name
+
+
+def test_frontier_bucketed_ddl_golden():
+    """r4 verdict item 8: the host-bucketed frontier snapshot layout
+    (politeness_select_bucketed's work units) pinned as its Iceberg
+    deployment form — a native bucket(B, host) partition transform."""
+    from website_indexer_spark.sources.tables import FRONTIER_SCHEMA
+
+    ddl = IB.create_table_ddl(
+        "frontier", FRONTIER_SCHEMA, frontier_buckets=256
+    )
+    assert ddl.endswith("PARTITIONED BY (superstep, bucket(256, host))")
+    # flat default unchanged
+    assert IB.create_table_ddl("frontier", FRONTIER_SCHEMA).endswith(
+        "PARTITIONED BY (superstep)"
+    )
+
+
+def test_crawl_budgets_ddl_golden():
+    """The per-run Crawl-delay override table: bucket-aligned with the
+    frontier (same B, same host key), no superstep column (overwritten
+    whole each run), and refusing to exist without the alignment."""
+    import pytest
+
+    from website_indexer_spark.sources.tables import BUDGETS_SCHEMA
+
+    ddl = IB.create_table_ddl(
+        "crawl_budgets", BUDGETS_SCHEMA, frontier_buckets=256
+    )
+    assert ddl == (
+        "CREATE TABLE IF NOT EXISTS crawl.crawl_budgets (\n"
+        "  host STRING NOT NULL,\n"
+        "  budget BIGINT NOT NULL\n"
+        ") USING iceberg\n"
+        "PARTITIONED BY (bucket(256, host))"
+    )
+    with pytest.raises(ValueError):
+        IB.create_table_ddl("crawl_budgets", BUDGETS_SCHEMA)
+
+
+def test_rebucket_golden():
+    """CrawlStore.rebucket's Iceberg form: REPLACE PARTITION FIELD
+    (metadata-only spec change) + rewrite_data_files (file migration)
+    — pinning that a deployment rebuckets without reader downtime."""
+    stmts = IB.rebucket_sql("seen", "url_hash", 256, 1024)
+    assert stmts == [
+        "ALTER TABLE crawl.seen REPLACE PARTITION FIELD "
+        "bucket(256, url_hash) WITH bucket(1024, url_hash)",
+        "CALL crawl.system.rewrite_data_files(\n"
+        "  table => 'crawl.seen',\n"
+        "  options => map('target-file-size-bytes', '536870912'))",
+    ]

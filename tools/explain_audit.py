@@ -191,6 +191,16 @@ CHECKS = {
         ("eval-slice holdout pushed into the scan",
          lambda p: "PushedFilters" in p),
     ],
+    "harmonic_rank": [
+        ("the ANF flood + key projection stays equi-join only",
+         lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+        ("the rank is the scalable ordered enumeration: range "
+         "partitioning (TeraSort shape), never a single-partition "
+         "global window",
+         lambda p: "rangepartitioning" in p),
+        ("bit_or flood folds map-side before each exchange",
+         lambda p: "partial" in p.lower()),
+    ],
     "dump_to_shards": [
         ("the full dump→shards chain stays equi-join only — no cross "
          "product anywhere from archive bytes to manifest",

@@ -73,6 +73,16 @@ SEEN_SCHEMA = T.StructType(
     ]
 )
 
+# per-run Crawl-delay override table (plans/crawl.py writes it bucket-
+# aligned with the frontier snapshot layout; politeness selection
+# tasks point-read only their own bucket's overrides)
+BUDGETS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("budget", T.LongType(), False),
+    ]
+)
+
 # The seen table's physical layout is hash-bucketed by url_hash
 # (bucket = pmod(url_hash, SEEN_BUCKETS) as a partition dir under each
 # superstep delta) so the above-broadcast-threshold anti-join can run
@@ -360,8 +370,22 @@ class IcebergBackend(TableBackend):
         "routed": ("superstep", "record_type"),
         "seen": ("superstep", "bucket({seen_buckets}, url_hash)"),
         "dims": ("superstep", "kind", "bucket({dims_buckets}, key)"),
+        # frontier: flat by default; run_crawl(frontier_buckets=...)
+        # switches the snapshot to the host-bucketed layout that the
+        # storage-partitioned politeness selection point-reads — in
+        # Iceberg that is a native bucket(B, host) partition transform
+        # (create_table_ddl emits it when frontier_buckets is given)
         "frontier": ("superstep",),
+        # crawl_budgets: the per-run Crawl-delay override table,
+        # bucket-ALIGNED with the frontier layout (same B, same host
+        # key) so each politeness-selection task point-reads only its
+        # own bucket's overrides; no superstep column — the table is
+        # overwritten whole once per run
+        "crawl_budgets": ("bucket({frontier_buckets}, host)",),
     }
+
+    # tables that are per-run overwrite artifacts, not superstep deltas
+    _NO_SUPERSTEP = {"crawl_budgets"}
 
     @classmethod
     def session_conf(
@@ -392,18 +416,40 @@ class IcebergBackend(TableBackend):
         catalog: str = "crawl",
         seen_buckets: int = SEEN_BUCKETS,
         dims_buckets: int = DIMS_BUCKETS,
+        frontier_buckets: Optional[int] = None,
     ) -> str:
         """CREATE TABLE for one logical table, with the superstep as a
         partition column (added to the schema — in the parquet layout
-        it is a directory, in Iceberg a real column)."""
+        it is a directory, in Iceberg a real column; per-run overwrite
+        tables like crawl_budgets carry no superstep).
+
+        ``frontier_buckets`` activates the host-bucketed frontier
+        snapshot layout (the politeness_select_bucketed work units) as
+        a native bucket(B, host) transform, and is REQUIRED for
+        crawl_budgets — the override table must share the frontier's
+        exact bucket function or the point-reads mis-route."""
         cols = [
             f"  {f.name} {cls._SQL_TYPES[f.dataType.simpleString()]}"
             + ("" if f.nullable else " NOT NULL")
             for f in schema.fields
-        ] + ["  superstep INT NOT NULL"]
+        ]
+        if name not in cls._NO_SUPERSTEP:
+            cols.append("  superstep INT NOT NULL")
+        spec_parts = cls._PARTITION_SPECS[name]
+        if name == "frontier" and frontier_buckets:
+            spec_parts = ("superstep", f"bucket({int(frontier_buckets)}, host)")
+        if name == "crawl_budgets" and not frontier_buckets:
+            raise ValueError(
+                "crawl_budgets is bucket-aligned with the frontier "
+                "layout: pass frontier_buckets=<same B as the frontier>"
+            )
         spec = ", ".join(
-            p.format(seen_buckets=seen_buckets, dims_buckets=dims_buckets)
-            for p in cls._PARTITION_SPECS[name]
+            p.format(
+                seen_buckets=seen_buckets,
+                dims_buckets=dims_buckets,
+                frontier_buckets=frontier_buckets,
+            )
+            for p in spec_parts
         )
         return (
             f"CREATE TABLE IF NOT EXISTS {catalog}.{name} (\n"
@@ -447,6 +493,31 @@ class IcebergBackend(TableBackend):
             f"CALL {catalog}.system.expire_snapshots(\n"
             f"  table => '{catalog}.{name}', retain_last => {retain_last})"
         )
+
+    @classmethod
+    def rebucket_sql(
+        cls,
+        name: str,
+        key: str,
+        old_buckets: int,
+        new_buckets: int,
+        catalog: str = "crawl",
+    ) -> list:
+        """CrawlStore.rebucket's Iceberg form: partition specs are
+        metadata, so changing the bucket count is REPLACE PARTITION
+        FIELD (new writes take the new spec immediately) followed by
+        rewrite_data_files to migrate the existing files — the same
+        two phases the parquet emulation performs as a full bucketed
+        rewrite, except Iceberg needs no reader downtime (old files
+        stay readable under the old spec until rewritten)."""
+        return [
+            (
+                f"ALTER TABLE {catalog}.{name} REPLACE PARTITION FIELD "
+                f"bucket({int(old_buckets)}, {key}) "
+                f"WITH bucket({int(new_buckets)}, {key})"
+            ),
+            cls.compact_sql(name, catalog=catalog),
+        ]
 
     @classmethod
     def rollback_sql(
