@@ -171,9 +171,14 @@ def main() -> None:
     spark = build_spark(
         app_name="wi-bench",
         master=f"local[{cpus}]",
-        # modest fixed shuffle width: AQE re-coalesces at runtime, and
-        # at bench scale wide shuffles only add scheduling overhead
-        shuffle_partitions=16,
+        # shuffle width tracks the core count (floor 16): AQE
+        # re-coalesces small shuffles at runtime, but a FIXED width
+        # below the core count caps every post-shuffle stage — at
+        # local[32] a 16-wide shuffle leaves half the cores idle,
+        # which is a config artifact, not a scaling property
+        shuffle_partitions=int(
+            os.environ.get("BENCH_SHUFFLE_PARTITIONS", str(max(16, 2 * cpus)))
+        ),
         extra_conf={
             # local mode: the driver JVM IS the executor — size it for
             # cpus concurrent tasks over multi-MB html rows (the 1g
@@ -260,10 +265,27 @@ def main() -> None:
                 )
                 extract_s = min(extract_s, time.time() - t0)
             timings["extract_only"] = round(extract_s, 3)
-        # the 4 MB split size is an extract-bench knob — restore the
-        # default so the crawl's lookup scans aren't shredded into
-        # hundreds of scheduling-overhead-sized tasks
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # crawl-phase split size: the lookup scan carries the crawl's
+        # extraction work, so its task count must cover the cores. A
+        # real Common-Crawl corpus arrives in thousands of ~100 MB
+        # files and parallelizes naturally; the bench corpus is a
+        # handful of files, so size splits to give ~4 scan tasks per
+        # core (floored at 8 MB so tiny corpora aren't shredded into
+        # scheduling overhead). At the default 128 MB the fat-corpus
+        # scan was ~6 tasks — local[32] measured SLOWER than local[8]
+        # purely from this starvation (r5 scaling investigation).
+        corpus_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fns in os.walk(corpus_path)
+            for f in fns
+        )
+        split_mb = int(os.environ.get(
+            "BENCH_CRAWL_SPLIT_MB",
+            str(max(8, corpus_bytes // (4 * cpus * 1024 * 1024) or 8)),
+        ))
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(split_mb * 1024 * 1024)
+        )
 
         # ---- end-to-end crawl (the headline) -----------------------
         # warm-up: 2 supersteps on a scratch dir so one-time costs

@@ -100,6 +100,21 @@ def main() -> None:  # pragma: no cover - CLI veneer
         "crash-safe — the Iceberg rewrite_data_files analogue)",
     )
     k.add_argument("name")
+    r = sub.add_parser(
+        "recrawl",
+        help="schedule a recrawl: rank URLs by change rate from a "
+        "CDXJ capture index (Cho-GM estimator), evict the top-k from "
+        "the crawl's seen state (cuckoo stripe delete + bucket-pruned "
+        "seen rewrite — operators/recrawl.py), and optionally write "
+        "the reseed frontier for run_crawl(resume, extra_frontier=)",
+    )
+    r.add_argument("name")
+    r.add_argument("--cdx", required=True, help="CDXJ path/glob")
+    r.add_argument("--k", type=int, default=100)
+    r.add_argument("--now-epoch", type=int, required=True)
+    r.add_argument(
+        "--reseed-out", help="write the reseed frontier parquet here"
+    )
     args = ap.parse_args()
 
     if args.cmd == "list":
@@ -116,6 +131,39 @@ def main() -> None:  # pragma: no cover - CLI veneer
         gone = clean_crawls(args.root, args.keep, args.dry_run)
         verb = "would delete" if args.dry_run else "deleted"
         print(f"{verb}: {', '.join(gone) if gone else '(nothing)'}")
+    elif args.cmd == "recrawl":
+        from website_indexer_spark.operators.recrawl import (
+            recrawl_invalidate,
+            recrawl_seed_frontier,
+        )
+        from website_indexer_spark.sources.cdx import (
+            cdx_change_rate,
+            read_cdxj,
+            recrawl_topk,
+        )
+        from website_indexer_spark.sources.tables import (
+            CrawlStore,
+            build_spark,
+        )
+
+        store_dir = os.path.join(args.root, args.name)
+        if _read_record(store_dir) is None:
+            print(f"no such crawl: {args.name}")
+            return
+        spark = build_spark(app_name="wi-recrawl")
+        store = CrawlStore(spark, store_dir)
+        rates = cdx_change_rate(
+            read_cdxj(spark, args.cdx), now_epoch=args.now_epoch
+        )
+        topk = recrawl_topk(rates, args.k).persist()
+        stats = recrawl_invalidate(spark, store, topk)
+        print(json.dumps(stats))
+        if args.reseed_out:
+            recrawl_seed_frontier(topk).write.mode("overwrite").parquet(
+                args.reseed_out
+            )
+            print(f"reseed frontier -> {args.reseed_out}")
+        topk.unpersist()
     elif args.cmd == "compact":
         from website_indexer_spark.sources.tables import CrawlStore, build_spark
 
