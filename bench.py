@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     "harmonic_rank",
     # r5 capstone: archive bytes -> training shards, one plan
     "dump_to_shards",
+    # r5 late additions: tokenizer fitting + weighted sampling
+    "bpe_pair_counts",
+    "bpe_merges",
+    "weighted_sample",
 ]
 
 # fixed-cost-bound entries (annotation rides the bench JSON so a
@@ -147,6 +151,9 @@ BENCH_NOTES = {
     "dump_to_shards": "the 10-stage capstone chain incl. archive "
                       "synthesis + two eager stage jobs; per-stage "
                       "costs are the individually benched operators",
+    "bpe_merges": "5 sequential trainer rounds (count + argmax + "
+                  "re-segment) over a 120-doc corpus: round latency, "
+                  "not data volume",
 }
 
 

@@ -384,3 +384,37 @@ def test_mixture_pack_composition(spark):
     )
     assert total == expect
     assert sum(r["n_docs"] for r in rows) == mixed.count()
+
+
+def test_weighted_sample_matches_python_protocol(spark):
+    """weighted_sample (Efraimidis-Spirakis A-ES, floor-micro-nat
+    protocol): exact winner set + keys vs a plain-Python replica;
+    zero-weight rows never sampled; heavier duplicate keys win."""
+    import hashlib
+    import math
+
+    from website_indexer_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]  # weights 0..10
+    df = spark.createDataFrame(rows, ["doc_id", "weight"])
+    got = weighted_sample(df, "weight", k=50).collect()
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        return math.floor(-1_000_000.0 * math.log((h + 1) / 65537.0) / w)
+
+    want = sorted(
+        ((key(d, w), d, w) for d, w in rows if w > 0),
+    )[:50]
+    assert [(r["sample_key_micro"], r["doc_id"], r["weight"]) for r in got] \
+        == want
+    assert all(r["weight"] > 0 for r in got)
+
+    # plan: top-k via TakeOrderedAndProject, never a global sort
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        weighted_sample(df, "weight", k=50).explain()
+    assert "TakeOrderedAndProject" in buf.getvalue()

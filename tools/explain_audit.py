@@ -191,6 +191,22 @@ CHECKS = {
         ("eval-slice holdout pushed into the scan",
          lambda p: "PushedFilters" in p),
     ],
+    "bpe_pair_counts": [
+        ("round-1 pair count is pure native dataflow: no Python "
+         "evaluator anywhere in the plan",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("pair count partial-aggregates map-side (mega-pair skew "
+         "dies in the combiner)",
+         lambda p: "partial" in p.lower()),
+    ],
+    "weighted_sample": [
+        ("A-ES winners via TakeOrderedAndProject: per-task top-k "
+         "heaps, never a global sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("one narrow projection computes the key: no exchange before "
+         "the top-k",
+         lambda p: "Exchange hashpartitioning" not in p),
+    ],
     "harmonic_rank": [
         ("the ANF flood + key projection stays equi-join only",
          lambda p: "Cartesian" not in p and "NestedLoop" not in p),

@@ -296,6 +296,51 @@ def mixture_sample(
     )
 
 
-__all__ = ["hash_sample", "stratified_quota", "mixture_sample",
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement — Efraimidis & Spirakis
+    2006 ("Weighted random sampling with a reservoir", public paper):
+    each row draws a uniform u and keys on u^(1/w); the k largest keys
+    are a weighted-without-replacement sample. Equivalently (and
+    monotonically) the k SMALLEST values of -ln(u)/w, which is the
+    form used here because it quantizes cleanly.
+
+    Deterministic cross-engine protocol (the lm_logloss precedent):
+    u = (hash16(key)+1)/65537 — an exact rational in (0,1) from the
+    md5-prefix16 draw every sampler in this module uses — and the
+    sort key is floor(-1e6 * ln(u) / w) in integer micro-nats, ties
+    broken by key. ln of an exact small rational agrees across
+    engines to ~1 ulp, so the floor bucket is stable in practice and
+    the winner set hash-gates against DuckDB.
+
+    Plan shape: one narrow projection + orderBy(limit k) — Spark
+    compiles it to TakeOrderedAndProject (per-task top-k heaps, only
+    k rows per partition reach the driver-side merge); the corpus is
+    never globally sorted. Zero weight means never sampled (+inf key
+    → bottom of the order); weights must be non-negative."""
+    u_num = _hash16(F.col(key_col)) + F.lit(1)  # 1..65536
+    w = F.col(weight_col).cast("double")
+    key_micro = F.when(
+        w > 0,
+        F.floor(
+            F.lit(-1_000_000.0)
+            * F.log(u_num.cast("double") / F.lit(65537.0))
+            / w
+        ).cast("long"),
+    )
+    return (
+        df.withColumn("sample_key_micro", key_micro)
+        .filter(F.col("sample_key_micro").isNotNull())
+        .orderBy(F.col("sample_key_micro").asc(), F.col(key_col).asc())
+        .limit(int(k))
+    )
+
+__all__ = ["weighted_sample", "hash_sample", "stratified_quota", "mixture_sample",
            "mixture_thresholds"]
 

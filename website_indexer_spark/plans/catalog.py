@@ -975,6 +975,57 @@ def q_dump_to_shards(spark, sf):
     )
 
 
+def q_bpe_pair_counts(spark, sf):
+    """BPE tokenizer fitting, the distributed core (operators/bpe.py):
+    corpus-wide adjacent character-symbol pair counts with the </w>
+    end-of-word construction — round 1 of Sennrich-style training.
+    One posexplode + one partial-aggregated exchange keyed by the
+    pair (mega-pair skew dies in the combiner)."""
+    from website_indexer_spark.operators import bpe
+
+    return pair_rename(bpe.pair_counts(_t(spark, sf, "documents")))
+
+
+def pair_rename(df):
+    # left/right are SQL keywords; alias for the driver's column sort
+    return df.select(
+        F.col("left").alias("sym_left"),
+        F.col("right").alias("sym_right"),
+        "cnt",
+    )
+
+
+def q_bpe_merges(spark, sf):
+    """The iterative trainer: 5 merge rounds, each one distributed
+    pair count + a TakeOrdered(1) argmax with the (cnt DESC, left,
+    right) total order + a broadcast re-segmentation. Driver state is
+    the 5-row merge table. Rows-only (the oracle cannot express the
+    iterative re-segmentation in one SQL query); the trainer is
+    pinned against a plain-Python reference in pytest."""
+    from website_indexer_spark.operators import bpe
+
+    docs = _t(spark, sf, "documents").limit(120)  # trainer corpus
+    merges = bpe.fit_bpe(docs, n_merges=5)
+    return spark.createDataFrame(
+        [(i, l, r, int(c)) for i, (l, r, c) in enumerate(merges)],
+        "rank int, sym_left string, sym_right string, cnt long",
+    )
+
+
+def q_weighted_sample(spark, sf):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES, operators/sampling.py::weighted_sample): k smallest
+    floor-micro-nat -ln(u)/w keys, u from the md5-prefix16 draw,
+    w = n_chars. TakeOrderedAndProject — per-task top-k heaps, no
+    global sort."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    return sampling.weighted_sample(
+        docs, weight_col="weight", k=100
+    )
+
+
 def q_doc_pack(spark, sf):
     """Token-budget training-shard packing (operators/packing.py):
     bucket-parallel greedy packing — md5-ordered cumulative token sum
@@ -1211,6 +1262,9 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "dedup_spans": q_dedup_spans,
     "dedup_span_removal": q_dedup_span_removal,
     "doc_pack": q_doc_pack,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_merges": q_bpe_merges,
+    "weighted_sample": q_weighted_sample,
     "shard_manifest": q_shard_manifest,
     "lm_logloss": q_lm_logloss,
     "lm_head": q_lm_head,
@@ -1974,6 +2028,49 @@ SELECT doc_id, bucket,
        CAST(floor(CAST(tokens_before AS DOUBLE) / {budget}) AS INT) AS shard_id,
        n_tokens, tokens_before
 FROM pk_cum
+"""
+
+# bpe_pair_counts: the round-1 BPE pair count — char symbols with the
+# </w> end-of-word fusion, adjacent pairs, one group-count. Mirrors
+# operators/bpe.py::pair_counts(merges=()) symbol for symbol.
+ORACLE_SQL["bpe_pair_counts"] = r"""
+WITH bw AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), bc AS (
+  SELECT regexp_extract_all(w, '.') AS cs FROM bw
+), bs AS (
+  SELECT CASE WHEN len(cs) = 0 THEN []
+         ELSE list_append(cs[1:len(cs)-1], cs[len(cs)] || '</w>')
+         END AS s
+  FROM bc
+), bp AS (
+  SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+           i -> struct_pack(l := s[i], r := s[i+1]))) AS p
+  FROM bs WHERE len(s) >= 2
+)
+SELECT p.l AS sym_left, p.r AS sym_right,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM bp GROUP BY 1, 2
+"""
+
+# weighted_sample: A-ES winners under the floor-micro-nat protocol;
+# the 16-bit draw decoded to an integer via the md5 digit trick.
+_H16 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1) * {16 ** (4 - i)}"
+    for i in range(1, 5)
+)
+ORACLE_SQL["weighted_sample"] = f"""
+WITH ws AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         CAST(floor(-1000000.0
+              * ln((CAST({_H16} AS DOUBLE) + 1) / 65537.0)
+              / CAST(n_chars AS DOUBLE)) AS BIGINT) AS sample_key_micro
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, sample_key_micro
+FROM ws ORDER BY sample_key_micro ASC, doc_id ASC LIMIT 100
 """
 
 ORACLE_SQL["doc_pack"] = _PACK_SQL.format(
