@@ -1012,6 +1012,28 @@ def q_bpe_merges(spark, sf):
     )
 
 
+def q_bpe_encode(spark, sf):
+    """The fitted tokenizer applied corpus-wide: fit 5 merges on the
+    trainer slice, then encode the first 200 docs in one
+    Arrow-batched pass — (doc_id, n_tokens, first token). Rows-only
+    (greedy rank-order merging has no single-SQL mirror); exact
+    semantics pinned by test_bpe.py's encode round trip."""
+    from website_indexer_spark.operators import bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = [
+        (l, r) for l, r, _ in bpe.fit_bpe(docs.limit(120), n_merges=5)
+    ]
+    enc = bpe.encode_with_merges(
+        docs.orderBy("doc_id").limit(200), merges
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.element_at(F.col("tokens"), 1).alias("first_token"),
+    )
+
+
 def q_weighted_sample(spark, sf):
     """Weighted sampling without replacement (Efraimidis-Spirakis
     A-ES, operators/sampling.py::weighted_sample): k smallest
@@ -1264,6 +1286,7 @@ SPARK_QUERIES: Dict[str, SparkQuery] = {
     "doc_pack": q_doc_pack,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "weighted_sample": q_weighted_sample,
     "shard_manifest": q_shard_manifest,
     "lm_logloss": q_lm_logloss,
