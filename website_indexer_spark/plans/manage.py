@@ -100,6 +100,15 @@ def main() -> None:  # pragma: no cover - CLI veneer
         "crash-safe — the Iceberg rewrite_data_files analogue)",
     )
     k.add_argument("name")
+    rb = sub.add_parser(
+        "rebucket",
+        help="change a crawl store's physical bucket count(s) — a "
+        "crash-safe compaction rewrite (meta-first pending flag, "
+        "bucketed fast paths disabled until the rewrite lands)",
+    )
+    rb.add_argument("name")
+    rb.add_argument("--seen-buckets", type=int)
+    rb.add_argument("--dims-buckets", type=int)
     r = sub.add_parser(
         "recrawl",
         help="schedule a recrawl: rank URLs by change rate from a "
@@ -131,6 +140,28 @@ def main() -> None:  # pragma: no cover - CLI veneer
         gone = clean_crawls(args.root, args.keep, args.dry_run)
         verb = "would delete" if args.dry_run else "deleted"
         print(f"{verb}: {', '.join(gone) if gone else '(nothing)'}")
+    elif args.cmd == "rebucket":
+        from website_indexer_spark.sources.tables import (
+            CrawlStore,
+            build_spark,
+        )
+
+        store_dir = os.path.join(args.root, args.name)
+        if _read_record(store_dir) is None:
+            print(f"no such crawl: {args.name}")
+            return
+        spark = build_spark(app_name="wi-rebucket")
+        stats = CrawlStore(spark, store_dir).rebucket(
+            seen_buckets=args.seen_buckets,
+            dims_buckets=args.dims_buckets,
+        )
+        if not stats:
+            print("nothing to do (counts unchanged)")
+        for table, st in stats.items():
+            print(
+                f"{table}: {st['files_before']} -> {st['files_after']} "
+                f"files (supersteps <= {st['upto']})"
+            )
     elif args.cmd == "recrawl":
         from website_indexer_spark.operators.recrawl import (
             recrawl_invalidate,
