@@ -167,3 +167,82 @@ def test_harmonic_key_expr_dialects_share_constants():
     for c in harmonic_weights(3):
         assert f"CAST({c} * " in sp and f"CAST({c} * " in dd
     assert "DECIMAL(38,0)" in sp and "HUGEINT" in dd
+
+
+def test_harmonic_key_expr_extreme_values_duckdb_vs_python():
+    """The key protocol's cap/shift-split arithmetic checked at
+    EXTREME sketch statistics the gate corpus never reaches (s up to
+    the 16*63 ceiling, q past both the 31-bit split and the 62 cap):
+    the DuckDB dialect evaluated on raw (s1,s2,s3) rows must equal
+    the plain-Python integer formula exactly."""
+    import random
+
+    import duckdb
+
+    from website_indexer_spark.operators.anf import (
+        ANF_REGISTERS,
+        HARMONIC_Q_CAP,
+        harmonic_key_constants,
+        harmonic_key_expr,
+        harmonic_weights,
+    )
+
+    rng = random.Random(7)
+    rows = [(0, 0, 0), (1008, 1008, 1008), (992, 16, 512)] + [
+        (rng.randint(0, 1008), rng.randint(0, 1008), rng.randint(0, 1008))
+        for _ in range(200)
+    ]
+    ks = harmonic_key_constants()
+    cs = harmonic_weights(3)
+
+    def pykey(s1, s2, s3):
+        tot = 0
+        for c, s in zip(cs, (s1, s2, s3)):
+            q = min(s // ANF_REGISTERS, HARMONIC_Q_CAP)
+            tot += c * ks[s % ANF_REGISTERS] * (1 << q)
+        return tot
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s1 BIGINT, s2 BIGINT, s3 BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    expr = harmonic_key_expr(3, dialect="duckdb")
+    got = con.execute(f"SELECT s1, s2, s3, {expr} AS k FROM t").fetchall()
+    for s1, s2, s3, k in got:
+        assert int(k) == pykey(s1, s2, s3), (s1, s2, s3)
+
+
+def test_harmonic_key_expr_extreme_values_spark_vs_python(spark):
+    """Same extreme-statistic sweep through the SPARK dialect: the
+    decimal(38,0) product path must agree with the Python integers
+    (a silent decimal overflow would surface as NULL here)."""
+    import random
+
+    from website_indexer_spark.operators.anf import (
+        ANF_REGISTERS,
+        HARMONIC_Q_CAP,
+        harmonic_key_constants,
+        harmonic_key_expr,
+        harmonic_weights,
+    )
+
+    rng = random.Random(11)
+    rows = [(0, 0, 0), (1008, 1008, 1008)] + [
+        (rng.randint(0, 1008), rng.randint(0, 1008), rng.randint(0, 1008))
+        for _ in range(60)
+    ]
+    ks = harmonic_key_constants()
+    cs = harmonic_weights(3)
+
+    def pykey(s1, s2, s3):
+        tot = 0
+        for c, s in zip(cs, (s1, s2, s3)):
+            q = min(s // ANF_REGISTERS, HARMONIC_Q_CAP)
+            tot += c * ks[s % ANF_REGISTERS] * (1 << q)
+        return tot
+
+    df = spark.createDataFrame(rows, ["s1", "s2", "s3"])
+    expr = harmonic_key_expr(3, dialect="spark")
+    out = df.selectExpr("s1", "s2", "s3", f"({expr}) AS k").collect()
+    for r in out:
+        assert r["k"] is not None, (r["s1"], r["s2"], r["s3"])
+        assert int(r["k"]) == pykey(r["s1"], r["s2"], r["s3"])
