@@ -24,11 +24,13 @@ def _capture_index(spark, urls, changed):
     """Two captures per URL (m = 1 revisit interval); URLs in
     ``changed`` flip their digest between captures (X = 1 → positive
     change rate), the rest stay identical (X = 0 → rate 0)."""
+    import hashlib
+
     rows = []
     for u in urls:
         surt = u.lower()
-        d0 = "sha1:" + format(abs(hash(u)) % 10**8, "08d")
-        d1 = d0[:-1] + ("9" if u in changed else d0[-1])
+        d0 = "sha1:" + hashlib.md5(u.encode()).hexdigest()[:8]
+        d1 = d0 + "x" if u in changed else d0
         rows.append((surt, "20240101000000", u, d0))
         rows.append((surt, "20240201000000", u, d1))
     return spark.createDataFrame(rows, ["surt", "ts14", "url", "digest"])
